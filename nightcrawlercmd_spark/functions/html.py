@@ -1,0 +1,54 @@
+"""HTML extraction functions (SURVEY.md O29/O30).
+
+The reference extracts hrefs/forms/resources inside crawlbase (goquery;
+consumed at mainCrawler.go:179,192-194 and mainReport.go:163-169) and
+converts HTML to text via html2text (mainReport.go:109-110). Here both
+are pure functions shared by the Spark pandas UDFs and the sequential
+oracle — regex-based, deterministic, no external parser.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+
+_HREF_RE = re.compile(r"""href\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
+_SRC_RE = re.compile(r"""src\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
+_TAG_RE = re.compile(r"<script.*?</script>|<style.*?</style>|<[^>]+>", re.DOTALL)
+_WS_RE = re.compile(r"\s+")
+
+
+def _as_text(body) -> str:
+    if body is None:
+        return ""
+    if isinstance(body, (bytes, bytearray)):
+        return bytes(body).decode("utf-8", errors="replace")
+    return str(body)
+
+
+def extract_hrefs(body) -> list[str]:
+    """All href attribute values, document order, duplicates preserved
+    (dedupe is a separate relational step — array_distinct / anti-join)."""
+    return _HREF_RE.findall(_as_text(body))
+
+
+def extract_srcs(body) -> list[str]:
+    return _SRC_RE.findall(_as_text(body))
+
+
+def html_to_text(body) -> str:
+    """Tag-strip + entity decode + whitespace collapse (O29)."""
+    txt = _TAG_RE.sub(" ", _as_text(body))
+    return _WS_RE.sub(" ", _html.unescape(txt)).strip()
+
+
+# ---- vectorized forms ------------------------------------------------------
+
+def extract_hrefs_series(bodies: pd.Series) -> pd.Series:
+    return bodies.map(extract_hrefs)
+
+
+def html_to_text_series(bodies: pd.Series) -> pd.Series:
+    return bodies.map(html_to_text)

@@ -1,0 +1,133 @@
+"""RFC-3986 URL canonicalization (SURVEY.md O18).
+
+The reference normalizes URLs via Go's ``net/url`` and
+``crawlbase.ToAbsUrl`` (reference: mainCrawler.go:124, mainHttpScan.go:172-176).
+We pin one canonical form and use it as the dedupe key of the whole
+engine (``url_hash = xxhash64(canon_url)`` on the Spark side):
+
+* scheme and host lowercased
+* default ports dropped (http:80, https:443)
+* dot-segments resolved (RFC 3986 §5.2.4)
+* empty path → "/"
+* query parameters sorted by (key, value); empty query dropped
+* fragment stripped
+* percent-encodings uppercased; unreserved characters decoded
+
+The same pure-Python function backs the vectorized pandas UDF (engine
+side) and the sequential oracle (test side), so both worlds agree
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from urllib.parse import urlsplit, urlunsplit, parse_qsl, urlencode, urljoin
+
+import pandas as pd
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_QUERY_SAFE = ":@!$&'()*+,;=/?~-._"
+_UNRESERVED = set(string.ascii_letters + string.digits + "-._~")
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _norm_pct(s: str) -> str:
+    """RFC 3986 §6.2.2.1-2: uppercase percent triplets; decode only the
+    unreserved set (decoding reserved chars like %2F would change the
+    resource identity)."""
+
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+        else:
+            out.append(seg)
+    norm = "/".join(out)
+    if not norm.startswith("/"):
+        norm = "/" + norm
+    return norm
+
+
+def canonicalize(url: str) -> str | None:
+    """Canonical absolute form of ``url``; None if not absolute http(s)."""
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower().rstrip(".")
+    if not host:
+        return None
+    port = None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
+        netloc = f"{host}:{port}"
+    # path: normalize percent-encoding in place, resolve dot segments
+    path = _remove_dot_segments(_norm_pct(parts.path) or "/")
+    # query: sorted key=value pairs, consistently re-encoded
+    q = ""
+    if parts.query:
+        pairs = parse_qsl(parts.query, keep_blank_values=True)
+        q = urlencode(sorted(pairs), safe=_QUERY_SAFE)
+    return urlunsplit((scheme, netloc, path, q, ""))
+
+
+def resolve(base: str, href: str) -> str | None:
+    """Resolve ``href`` against ``base`` and canonicalize (O18 ToAbsUrl)."""
+    if href is None:
+        return None
+    href = href.strip()
+    if not href or href.startswith(("javascript:", "mailto:", "data:", "#")):
+        return None
+    try:
+        absu = urljoin(base, href)
+    except ValueError:
+        return None
+    return canonicalize(absu)
+
+
+def host_of(canon_url: str) -> str:
+    """Host component of an already-canonical URL (cheap split)."""
+    rest = canon_url.split("://", 1)[1]
+    authority = rest.split("/", 1)[0]
+    return authority.rsplit(":", 1)[0] if ":" in authority else authority
+
+
+_WORD_RE = re.compile(r"[a-zA-Z][a-z]{3,}")
+
+
+# ---- vectorized (pandas) forms, used inside Spark UDFs --------------------
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize)
+
+
+def resolve_series(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
+    return pd.Series(
+        [resolve(b, h) for b, h in zip(bases, hrefs)], index=bases.index, dtype=object
+    )

@@ -1,0 +1,146 @@
+"""Partitioned bloom-filter URL-seen set (SURVEY.md O51, §4.2.1).
+
+The reference's seen set is an in-memory Go map probed before enqueue
+(``cw.Links``; reference mainCrawler.go:110-136) — O(1) per probe but
+bounded by one machine's RAM. At 10^10 URLs the engine keeps the exact
+truth in the ``seen`` table (anti-join) and uses partitioned bloom
+filters as a *pre-probe* so the expensive exact anti-join only sees
+candidates the filter cannot rule out. Bloom "no" is definitive (no
+false negatives) → those rows skip the shuffle entirely.
+
+Partitioning: filter ``pid = url_hash mod P``; each partition filter is
+built distributed (applyInPandas per pid) and OR-merged incrementally
+per round. In broadcast mode the P filters ship to executors as one
+dict (fine to ~1e8 keys); beyond that the same probe runs as a
+co-partitioned join against the ``seen_filters`` table — the build
+path is identical.
+
+Filters are a cache, the ``seen`` table is the truth: resume rebuilds
+filters from the table, so a lost filter can never corrupt dedupe
+(SURVEY.md §7.3.4).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates the k index hashes."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9) & _MASK
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB) & _MASK
+    return x ^ (x >> np.uint64(31))
+
+
+def _positions(url_hash: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(n, k) bit positions for each key."""
+    u = url_hash.astype(np.int64).view(np.uint64)
+    out = np.empty((len(u), k), dtype=np.int64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        for i in range(k):
+            out[:, i] = (
+                _mix((u + np.uint64(i) * _GOLD) & _MASK) % np.uint64(m_bits)
+            ).astype(np.int64)
+    return out
+
+
+class BloomConfig:
+    def __init__(self, partitions: int = 16, bits_per_key: int = 12, k: int = 7):
+        self.partitions = partitions
+        self.bits_per_key = bits_per_key
+        self.k = k
+
+
+class PartitionedBloom:
+    """Driver-held dict pid → bit array (np.uint8 packed)."""
+
+    def __init__(self, cfg: BloomConfig, m_bits: int):
+        self.cfg = cfg
+        self.m_bits = m_bits
+        self.filters: dict[int, np.ndarray] = {}
+
+    @staticmethod
+    def size_for(expected_keys: int, cfg: BloomConfig) -> int:
+        m = max(1024, expected_keys * cfg.bits_per_key)
+        return 1 << int(math.ceil(math.log2(m)))  # pow2 → cheap modulo
+
+    def _empty(self) -> np.ndarray:
+        return np.zeros(self.m_bits // 8, dtype=np.uint8)
+
+    def add_filter_rows(self, rows: list[tuple[int, bytes]]) -> None:
+        """OR per-partition filter deltas into the held filters."""
+        for pid, blob in rows:
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            if pid in self.filters:
+                self.filters[pid] = self.filters[pid] | arr
+            else:
+                self.filters[pid] = arr.copy()
+
+    def maybe_contains(self, url_hash: np.ndarray) -> np.ndarray:
+        """Vectorized probe: True = maybe seen, False = definitely new."""
+        if not self.filters:
+            return np.zeros(len(url_hash), dtype=bool)
+        pid = (url_hash.astype(np.int64) % self.cfg.partitions + self.cfg.partitions) % (
+            self.cfg.partitions
+        )
+        pos = _positions(url_hash, self.cfg.k, self.m_bits)
+        out = np.ones(len(url_hash), dtype=bool)
+        for p in np.unique(pid):
+            mask = pid == p
+            filt = self.filters.get(int(p))
+            if filt is None:
+                out[mask] = False
+                continue
+            pp = pos[mask]
+            bits = (filt[pp >> 3] >> (pp & 7).astype(np.uint8)) & 1
+            out[mask] = bits.all(axis=1).astype(bool)
+        return out
+
+
+def build_filter_deltas(
+    df: DataFrame, cfg: BloomConfig, m_bits: int, hash_col: str = "url_hash"
+) -> list[tuple[int, bytes]]:
+    """Distributed filter build: group keys by pid, build each
+    partition's bit array executor-side, collect the (small) blobs."""
+    k, part = cfg.k, cfg.partitions
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["pid"].iloc[0])
+        arr = np.zeros(m_bits // 8, dtype=np.uint8)
+        pos = _positions(pdf[hash_col].to_numpy(), k, m_bits)
+        np.bitwise_or.at(arr, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame({"pid": [pid], "filter": [arr.tobytes()]})
+
+    rows = (
+        df.select(hash_col)
+        .withColumn("pid", F.pmod(F.col(hash_col), F.lit(part)).cast("int"))
+        .groupBy("pid")
+        .applyInPandas(build, schema="pid int, filter binary")
+        .collect()
+    )
+    return [(r["pid"], r["filter"]) for r in rows]
+
+
+def bloom_partition_df(
+    candidates: DataFrame, bloom: PartitionedBloom, hash_col: str = "url_hash"
+) -> DataFrame:
+    """Tag candidates with ``maybe_seen``; broadcast-probe pandas UDF."""
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast((bloom.cfg.partitions, bloom.cfg.k, bloom.m_bits, bloom.filters))
+
+    @F.pandas_udf("boolean")
+    def probe(h: pd.Series) -> pd.Series:
+        part, k, m_bits, filters = bc.value
+        b = PartitionedBloom(BloomConfig(partitions=part, k=k), m_bits)
+        b.filters = filters
+        return pd.Series(b.maybe_contains(h.to_numpy()))
+
+    return candidates.withColumn("maybe_seen", probe(F.col(hash_col)))

@@ -1,0 +1,55 @@
+"""Priority dequeue with per-host politeness budgets (SURVEY.md O69/O74).
+
+The reference fetches one URL at a time in Go-map order with a fixed
+inter-request sleep (``-wait 500`` ms → ≤2 pages/s; reference
+mainCrawler.go:45,81). The engine replaces wall-clock politeness with a
+*per-host budget per round*: each round, at most ``crawl_budget(host)``
+URLs per host are dequeued — per-host rate = budget/round-duration —
+while cross-host parallelism is unbounded. Dequeue order is pinned and
+total (priority DESC, canon_url ASC) so crawl ordering is reproducible
+(the reference's map iteration is nondeterministic; SURVEY.md §7.3.1).
+
+Scale notes: the window partitions by ``host``, so each host sorts only
+its own pending rows; a hot host's pending set is bounded per round by
+the budget cutoff, and the fetch stage re-partitions by (host_hash,
+salt) so one hot host cannot pin a single task. The global-sequence
+window only ever sees the *dequeued* set (≤ hosts × budget rows per
+round), never the full frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dequeue(
+    pending: DataFrame,
+    robots: DataFrame,
+    default_budget: int,
+    max_take: int | None = None,
+) -> DataFrame:
+    """Top-budget pending URLs per host, with a global ``seq`` column.
+
+    ``robots`` is a small dimension (host, crawl_budget) — broadcast.
+    ``max_take`` truncates the round by the same global total order
+    (max-pages gate; reference mainCrawler.go:149-155, O48).
+    """
+    per_host = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("canon_url")
+    )
+    ranked = (
+        pending.join(
+            F.broadcast(robots.select("host", "crawl_budget")), "host", "left"
+        )
+        .withColumn("budget", F.coalesce("crawl_budget", F.lit(default_budget)))
+        .withColumn("__rk", F.row_number().over(per_host))
+        .filter(F.col("__rk") <= F.col("budget"))
+        .drop("__rk", "budget", "crawl_budget")
+    )
+    # Global order over the (small) dequeued set → crawl-log sequence.
+    total = Window.orderBy(F.desc("priority"), F.asc("canon_url"))
+    ranked = ranked.withColumn("seq", F.row_number().over(total))
+    if max_take is not None:
+        ranked = ranked.filter(F.col("seq") <= max_take)
+    return ranked

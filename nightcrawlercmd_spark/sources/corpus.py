@@ -1,0 +1,263 @@
+"""Deterministic synthetic crawl world (seed list, robots, link graph, images).
+
+Mirrors the reference's input surface — a seed URL wordlist
+(reference: wordlist/urls_small.txt via crawlbase.ReadWordlist,
+mainCrawler.go:117-140) plus an HTTP universe to crawl — as a pure
+function of a config, so the Spark engine's mapInPandas fetcher and
+the sequential pure-Python oracle regenerate the exact same world
+(no network, no wall clock; SURVEY.md §7.1.1, O79).
+
+The world:
+* ``n_hosts`` hosts; host 0 is deliberately hot (``hot_factor``× pages
+  and ~half the seed list) to exercise skew handling.
+* page URLs ``http://{host}/p/{j}``; ``/private/...`` paths are
+  robots-disallowed; unknown paths 404; some pages 301-redirect.
+* each 200 page embeds hrefs (with dirty variants, duplicates, empty
+  and junk links to exercise the canonicalizer + filters) and one
+  image reference whose pixels/caption are deterministic too.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..functions.codecs_np import FORMATS, encode, phash64
+from ..functions.determinism import h64, hchoice, hfloat, hint
+
+_VOCAB = (
+    "amber basalt cedar dune ember fjord garnet harbor iris juniper kelp "
+    "lagoon maple nectar onyx prairie quartz reef sable tundra umber vale "
+    "willow xenon yarrow zephyr"
+).split()
+
+
+@dataclass(frozen=True)
+class WorldConfig:
+    n_hosts: int = 10
+    base_pages: int = 40
+    hot_factor: int = 8
+    links_lo: int = 3
+    links_hi: int = 10
+    out_of_scope_hosts: int = 2  # extra hosts that appear in links but not seeds
+    tag: str = "w1"  # world salt — change to get a different universe
+
+
+def hosts(cfg: WorldConfig) -> list[str]:
+    return [f"host{i:02d}.{cfg.tag}.test" for i in range(cfg.n_hosts)]
+
+
+def out_of_scope(cfg: WorldConfig) -> list[str]:
+    return [f"offsite{i:02d}.{cfg.tag}.test" for i in range(cfg.out_of_scope_hosts)]
+
+
+def n_pages(cfg: WorldConfig, host: str) -> int:
+    if host.startswith("host00."):
+        return cfg.base_pages * cfg.hot_factor
+    return cfg.base_pages + h64(cfg.tag, host, "np") % cfg.base_pages
+
+
+def page_url(host: str, j: int) -> str:
+    return f"http://{host}/p/{j}"
+
+
+def crawl_budget(cfg: WorldConfig, host: str) -> int:
+    """Per-host max URLs per round (politeness analog of `-wait 500`,
+    reference mainCrawler.go:45,81 — rate becomes budget/round)."""
+    return hint(2, 6, cfg.tag, host, "budget")
+
+
+def priority_of(canon_url: str, depth: int) -> float:
+    """Deterministic dequeue priority: shallower first, hash tie-spread."""
+    return round(1.0 / (1.0 + depth) + (h64(canon_url, "prio") % 1000) * 1e-6, 9)
+
+
+# ------------------------------------------------------------- robots -----
+
+def robots_rows(cfg: WorldConfig) -> list[dict]:
+    return [
+        {
+            "host": hst,
+            "disallow_prefixes": ["/private", "/admin"],
+            "crawl_budget": crawl_budget(cfg, hst),
+        }
+        for hst in hosts(cfg)
+    ]
+
+
+# -------------------------------------------------------------- seeds -----
+
+def seed_rows(cfg: WorldConfig) -> list[dict]:
+    """Seed URL list with dirty variants; hot host ≈ half the seeds."""
+    rows: list[str] = []
+    hs = hosts(cfg)
+    for hst in hs:
+        cnt = 2 + h64(cfg.tag, hst, "ns") % 3
+        if hst == hs[0]:
+            cnt = max(4, len(hs))  # hot host overrepresented
+        for k in range(cnt):
+            j = hint(0, n_pages(cfg, hst) - 1, cfg.tag, hst, "seed", k)
+            style = h64(cfg.tag, hst, "seedstyle", k) % 5
+            if style == 0:
+                rows.append(f"http://{hst.upper()}/p/{j}")
+            elif style == 1:
+                rows.append(f"http://{hst}:80/p/{j}")
+            elif style == 2:
+                rows.append(f"http://{hst}/a/../p/{j}#frag")
+            elif style == 3:
+                rows.append(f"http://{hst}/p/{j}?b=2&a=1")
+            else:
+                rows.append(page_url(hst, j))
+    return [{"url": u} for u in rows]
+
+
+# -------------------------------------------------------------- pages -----
+
+def _caption(cfg: WorldConfig, canon_url: str) -> str:
+    n = hint(4, 9, cfg.tag, canon_url, "capn")
+    return " ".join(hchoice(_VOCAB, cfg.tag, canon_url, "capw", i) for i in range(n))
+
+
+def image_id_of(cfg: WorldConfig, canon_url: str) -> str:
+    return f"img-{h64(cfg.tag, canon_url, 'img'):016x}"
+
+
+def _href(cfg: WorldConfig, canon_url: str, host: str, i: int) -> str:
+    """One outgoing link of a page — dirty on purpose."""
+    r = hfloat(cfg.tag, canon_url, "lt", i)
+    if r < 0.76:  # same-host page, dirty textual variant
+        j = hint(0, n_pages(cfg, host) - 1, cfg.tag, canon_url, "tgt", i)
+        v = h64(cfg.tag, canon_url, "var", i) % 5
+        if v == 0:
+            return f"/p/{j}"
+        if v == 1:
+            return f"http://{host.upper()}/p/{j}"
+        if v == 2:
+            return f"http://{host}:80/p/{j}#sec{i}"
+        if v == 3:
+            return f"/x/../p/{j}"
+        return page_url(host, j)
+    if r < 0.88:  # cross-host (in scope)
+        tgt = hchoice(hosts(cfg), cfg.tag, canon_url, "xh", i)
+        j = hint(0, n_pages(cfg, tgt) - 1, cfg.tag, canon_url, "xj", i)
+        return page_url(tgt, j)
+    if r < 0.92:  # out-of-scope host (scope filter food)
+        tgt = hchoice(out_of_scope(cfg), cfg.tag, canon_url, "oh", i)
+        return f"http://{tgt}/p/0"
+    if r < 0.96:  # robots-disallowed path
+        return f"/private/{hint(0, 20, cfg.tag, canon_url, 'pv', i)}"
+    junk = ["", "#", "mailto:x@y.z", "javascript:void(0)"]
+    return junk[h64(cfg.tag, canon_url, "junk", i) % len(junk)]
+
+
+def fetch_one(cfg: WorldConfig, canon_url: str) -> dict:
+    """The deterministic 'HTTP GET' (stand-in for reference O6
+    http.DefaultClient.Do, mainHttpScan.go:178-204 — sandbox is
+    offline, so responses are a pure function of the URL)."""
+    resp_ms = hint(5, 250, cfg.tag, canon_url, "ms")
+    rest = canon_url.split("://", 1)[1]
+    host, _, pathq = rest.partition("/")
+    host = host.rsplit(":", 1)[0] if ":" in host else host
+    path = "/" + pathq.split("?", 1)[0]
+    base = {
+        "canon_url": canon_url,
+        "status_code": 404,
+        "location": None,
+        "content_type": "text/html; charset=utf-8",
+        "body": b"<html><body>not found</body></html>",
+        "image_id": None,
+        "caption": None,
+        "resp_ms": resp_ms,
+        "error": None,
+    }
+    known = set(hosts(cfg)) | set(out_of_scope(cfg))
+    if host not in known:
+        base["status_code"] = 0
+        base["error"] = "dns: no such host"
+        base["body"] = b""
+        return base
+    j = None
+    if path == "/":
+        j = 0
+    elif path.startswith("/p/"):
+        tail = path[3:]
+        if tail.isdigit() and int(tail) < n_pages(cfg, host):
+            j = int(tail)
+    elif path.startswith("/private/"):
+        j = -1  # exists but should never be fetched when robots honored
+    if j is None:
+        return base
+    if j >= 1 and h64(cfg.tag, host, j, "redir") % 12 == 0:
+        base["status_code"] = 301
+        base["location"] = page_url(host, j - 1)
+        base["body"] = b""
+        return base
+    caption = _caption(cfg, canon_url)
+    img_id = image_id_of(cfg, canon_url)
+    nlinks = hint(cfg.links_lo, cfg.links_hi, cfg.tag, canon_url, "nl")
+    links = [_href(cfg, canon_url, host, i) for i in range(nlinks)]
+    if links:
+        links.append(links[0])  # guaranteed duplicate href (exercises O61)
+    anchors = "\n".join(f'<a href="{u}">link {i}</a>' for i, u in enumerate(links))
+    body = (
+        f"<html><head><title>{host} {j}</title></head><body>\n"
+        f"<p>{caption}</p>\n{anchors}\n"
+        f'<img src="/img/{img_id}.png" alt="{caption}">\n'
+        f"</body></html>"
+    ).encode()
+    base.update(status_code=200, body=body, image_id=img_id, caption=caption)
+    return base
+
+
+# -------------------------------------------------------------- images ----
+
+def gen_image(cfg: WorldConfig, image_id: str) -> tuple[np.ndarray, int, int, str]:
+    """Deterministic pixels for an image id: gradient + hash noise."""
+    w = hint(16, 64, cfg.tag, image_id, "w")
+    h = hint(16, 64, cfg.tag, image_id, "h")
+    fmt = hchoice(FORMATS, cfg.tag, image_id, "fmt")
+    yy, xx = np.mgrid[0:h, 0:w]
+    seed = h64(cfg.tag, image_id, "px") % (2**32)
+    rng = np.random.Generator(np.random.Philox(seed))  # seeded → deterministic
+    base_img = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.float64)
+    noise = rng.integers(-12, 13, size=(h, w, 3))
+    img = np.clip(base_img + noise, 0, 255).astype(np.uint8)
+    return img, w, h, fmt
+
+
+def images_pdf(cfg: WorldConfig, canon_urls: list[str]) -> pd.DataFrame:
+    """images(image_id, bytes, w, h, fmt, caption, phash) for the given
+    pages — the authoritative payload schema (BASELINE.json input_hint)."""
+    rows = []
+    seen: set[str] = set()
+    for cu in canon_urls:
+        img_id = image_id_of(cfg, cu)
+        if img_id in seen:
+            continue
+        seen.add(img_id)
+        img, w, h, fmt = gen_image(cfg, img_id)
+        rows.append(
+            {
+                "image_id": img_id,
+                "bytes": encode(img, fmt),
+                "w": np.int32(w),
+                "h": np.int32(h),
+                "fmt": fmt,
+                "caption": _caption(cfg, cu),
+                "phash": np.int64(phash64(img)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def all_page_urls(cfg: WorldConfig) -> list[str]:
+    return [page_url(hst, j) for hst in hosts(cfg) for j in range(n_pages(cfg, hst))]

@@ -1,0 +1,59 @@
+"""Exact resume from checkpoint (SURVEY.md O77 / north_rule):
+stop after round k, restart, final state identical to uninterrupted run."""
+
+from nightcrawlercmd_spark.sources.corpus import WorldConfig
+from nightcrawlercmd_spark.streaming.engine import CrawlEngine, EngineConfig
+
+WORLD = WorldConfig(n_hosts=4, base_pages=8, hot_factor=4, tag="t-resume")
+
+
+def _cfg(state_dir, max_rounds):
+    return EngineConfig(
+        state_dir=state_dir,
+        world=WORLD,
+        max_rounds=max_rounds,
+        max_pages=60,
+        fetch_tasks=4,
+        use_bloom=True,
+        expected_urls=1 << 12,
+    )
+
+
+def _final_state(eng):
+    log = [
+        (r["round"], r["seq"], r["canon_url"], r["status_code"])
+        for r in eng.crawl_log().collect()
+    ]
+    seen = sorted(
+        (r["canon_url"], r["first_round"], r["depth"]) for r in eng.seen().collect()
+    )
+    return log, seen
+
+
+def test_resume_matches_uninterrupted(spark, tmp_path):
+    full_dir, part_dir = str(tmp_path / "full"), str(tmp_path / "part")
+
+    full = CrawlEngine(spark, _cfg(full_dir, max_rounds=8))
+    full.run()
+
+    # interrupted run: stop after 3 rounds ...
+    first = CrawlEngine(spark, _cfg(part_dir, max_rounds=3))
+    first.run()
+    assert first.store.last_round() == 3
+    # ... new engine instance (fresh bloom — must rebuild from the seen
+    # table) continues from the commit marker
+    second = CrawlEngine(spark, _cfg(part_dir, max_rounds=8))
+    second.run()
+
+    assert _final_state(second) == _final_state(full)
+    assert second.store.last_round() == full.store.last_round()
+
+
+def test_rerun_completed_crawl_is_noop(spark, tmp_path):
+    d = str(tmp_path / "s")
+    eng = CrawlEngine(spark, _cfg(d, max_rounds=8))
+    eng.run()
+    last = eng.store.last_round()
+    again = CrawlEngine(spark, _cfg(d, max_rounds=8))
+    again.run()
+    assert again.store.last_round() == last

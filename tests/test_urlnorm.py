@@ -1,0 +1,58 @@
+"""Canonicalizer golden cases (SURVEY.md O18; RFC 3986)."""
+
+from nightcrawlercmd_spark.functions.urlnorm import canonicalize, host_of, resolve
+
+GOLDEN = [
+    # lowercase scheme + host
+    ("HTTP://WWW.Example.COM/", "http://www.example.com/"),
+    # default port dropped, non-default kept
+    ("http://h.test:80/a", "http://h.test/a"),
+    ("https://h.test:443/a", "https://h.test/a"),
+    ("http://h.test:8080/a", "http://h.test:8080/a"),
+    # dot segments
+    ("http://h.test/a/b/../c/./d", "http://h.test/a/c/d"),
+    ("http://h.test/../../x", "http://h.test/x"),
+    # empty path
+    ("http://h.test", "http://h.test/"),
+    # fragment stripped
+    ("http://h.test/p#frag", "http://h.test/p"),
+    # query sorted, blanks kept
+    ("http://h.test/p?b=2&a=1", "http://h.test/p?a=1&b=2"),
+    ("http://h.test/p?x=&y=1", "http://h.test/p?x=&y=1"),
+    # trailing dot host
+    ("http://h.test./p", "http://h.test/p"),
+    # non-http rejected
+    ("ftp://h.test/x", None),
+    ("mailto:a@b.c", None),
+    ("javascript:void(0)", None),
+    ("", None),
+    ("   ", None),
+    # idempotence food: percent-encoding normalization
+    ("http://h.test/a%2Fb", "http://h.test/a%2Fb"),
+]
+
+
+def test_golden_cases():
+    for raw, want in GOLDEN:
+        assert canonicalize(raw) == want, raw
+
+
+def test_idempotent():
+    for raw, want in GOLDEN:
+        if want is not None:
+            assert canonicalize(want) == want
+
+
+def test_resolve():
+    assert resolve("http://h.test/a/b", "../p/3") == "http://h.test/p/3"
+    assert resolve("http://h.test/a/b", "c") == "http://h.test/a/c"
+    assert resolve("http://h.test/a/", "/root") == "http://h.test/root"
+    assert resolve("http://h.test/a", "http://other.test/x") == "http://other.test/x"
+    assert resolve("http://h.test/a", "") is None
+    assert resolve("http://h.test/a", "#sec") is None
+    assert resolve("http://h.test/a", "mailto:x@y.z") is None
+
+
+def test_host_of():
+    assert host_of("http://h.test/p") == "h.test"
+    assert host_of("http://h.test:8080/p") == "h.test"
