@@ -1,0 +1,247 @@
+"""Text-pipeline operators over a documents table.
+
+Covers the reference's word/report pipelines (SURVEY.md O25/O32/O44/
+O59/O63/O66: regex word extraction `[a-zA-Z][a-z]{3,}` from
+mainWordlist.go:17, lower+trim normalize from mainWordlist.go:83-84,
+group-count from mainReport.go:266-281) plus the large-scale
+training-data operators a 100 TB corpus pipeline needs: exact and
+near-duplicate detection (MinHash+LSH, SimHash, n-gram Jaccard),
+language-ID heuristics, quality scoring, token counting, and document
+fingerprinting.
+
+Everything is built-in `pyspark.sql.functions` (JVM-side, codegen) —
+no Python UDFs — so each operator has an exact ANSI-SQL twin for the
+DuckDB oracle. Hashes are md5-prefix integers (`conv(substr(md5(x),
+1,8),16,10)`) because md5 is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = r"[a-zA-Z][a-z]{3,}"  # reference regex, mainWordlist.go:17
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def words(col: Column) -> Column:
+    """Array of reference-regex words (O25)."""
+    return F.regexp_extract_all(col, F.lit(WORD_RE), F.lit(0))
+
+
+def md5i(col: Column) -> Column:
+    """Deterministic 32-bit-ish integer hash, identical in DuckDB:
+    cast(('0x' || substr(md5(x),1,8)) as bigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def shingles(words_col: Column, k: int = 3) -> Column:
+    """k-word shingle strings from a word array (join on spaces).
+    Note: guard short arrays — Spark's sequence(0, -1) would *descend*."""
+    idx = F.when(
+        F.size(words_col) >= k, F.sequence(F.lit(0), F.size(words_col) - F.lit(k))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[words_col[i + j] for j in range(k)])
+    )
+
+
+def shingle_table(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct — substrate for MinHash / Jaccard."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(shingles(F.split(F.lower(F.col("text")), " "), k)).alias("shingle"),
+        )
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ dedupe ------
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedupe: hash-groupBy on content digest; keeper = min id.
+    Map-side partial agg, one shuffle on the digest."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("digest"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8, k: int = 3) -> DataFrame:
+    """doc_id + n_hashes MinHash values (mh0..mhN). One explode + one
+    groupBy — the P permutations are P columns, not P passes."""
+    sh = shingle_table(docs, k)
+    aggs = [
+        F.min(md5i(F.concat(F.lit(f"p{p}|"), F.col("shingle")))).alias(f"mh{p}")
+        for p in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_hashes: int = 8, band_size: int = 2, k: int = 3
+) -> DataFrame:
+    """Candidate near-duplicate pairs: band the signature, bucket-join.
+    The self-join is on (band_id, band_hash) — only colliding buckets
+    shuffle, never the full cross product (LSH's point at scale)."""
+    sig = minhash_signatures(docs, n_hashes, k)
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{b * band_size + j}").cast("string")
+                                for j in range(band_size)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash per document (bit-majority over word hashes)."""
+    w = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("word")
+    ).withColumn("h", md5i(F.col("word")))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    agg = w.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.1
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs blocked by `source`
+    (blocking keeps the join off the full cross product)."""
+    sh = shingle_table(docs, k).join(docs.select("doc_id", "source"), "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------- text analysis ----
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language heuristic (n-gram-free but same shape)."""
+    w = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    ratio = F.round(n_stop / F.greatest(F.size(w), F.lit(1)), 6)
+    return docs.select(
+        "doc_id",
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / alpha-ratio / stopword features + a pinned score."""
+    w = F.split(F.col("text"), " ")
+    n_tokens = F.size(w)
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    alpha_ratio = F.round(alpha_chars / F.greatest(F.length("text"), F.lit(1)), 6)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.round(
+        F.size(F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.array_contains(stop_arr, x)))
+        / F.greatest(n_tokens, F.lit(1)),
+        6,
+    )
+    raw = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.5
+        + alpha_ratio * 0.3
+        + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * 0.2
+    )
+    # floor(x*1e6+0.5)/1e6 instead of round(): pure double arithmetic,
+    # bit-identical across engines (Spark round is decimal HALF_UP,
+    # DuckDB rounds the float — they disagree on half boundaries)
+    score = F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_counts_by_source(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts, aggregated per source."""
+    ws_tokens = F.size(F.split(F.col("text"), F.lit(" ")))
+    bpe_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+    return (
+        docs.select("source", ws_tokens.alias("ws"), bpe_tokens.alias("bpe"))
+        .groupBy("source")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Normalized content fingerprint (lower + whitespace collapse + md5)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

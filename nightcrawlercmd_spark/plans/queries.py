@@ -1,0 +1,575 @@
+"""Driver-contract queries: Spark DataFrame pipelines + DuckDB oracle SQL.
+
+Each entry re-expresses a SURVEY.md §2 operator (or a training-data
+pipeline operator) over the driver's testdata tables. The Spark side is
+idiomatic DataFrame code (built-ins, broadcast dims, window ranks); the
+oracle side is ANSI SQL the driver runs in DuckDB on the same parquet.
+Column names/aliases match exactly — the driver hashes values after
+sorting columns by name.
+
+Floating-point policy: sums/averages that cross engines go through
+exact decimal aggregation (or fold-ordered list arithmetic) and are
+rounded to 6 dp before comparison; md5-prefix integers are the shared
+deterministic hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import annsearch as ANN
+from ..operators import textops as T
+from ..operators import multimodal as MM
+
+WORD_RE = T.WORD_RE
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Report-suite operators (reference report/wordlist pipelines, §3.2)
+# =====================================================================
+
+def q_report_wordlist(spark, sf):
+    """O59+O25+O32+O44: word dictionary — count + deterministic first doc
+    (reference mainReport.go:266-281; min() replaces Go-map
+    nondeterminism, documented delta SURVEY.md O59)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(T.words(F.col("text"))).alias("w"), "doc_id")
+        .select(F.lower("w").alias("word"), "doc_id")
+        .filter(F.length(F.trim("word")) > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+SQL_REPORT_WORDLIST = f"""
+SELECT lower(w) AS word, count(*) AS cnt, min(doc_id) AS first_doc
+FROM (SELECT unnest(regexp_extract_all(text, '{WORD_RE}')) AS w, doc_id FROM documents)
+WHERE length(trim(w)) > 0
+GROUP BY lower(w)
+"""
+
+
+def q_report_query_keys(spark, sf):
+    """O17/O62: query-key style extraction from events.props JSON —
+    distinct key values + count + deterministic sample event."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k"),
+            "event_id",
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"), F.min("event_id").alias("sample_event"))
+    )
+
+
+SQL_REPORT_QUERY_KEYS = """
+SELECT cast(regexp_extract(props, '"k": (\\d+)', 1) AS int) AS k,
+       count(*) AS cnt, min(event_id) AS sample_event
+FROM events GROUP BY 1
+"""
+
+
+def q_sort_wordlist_topk(spark, sf):
+    """O63+O66+O67: distinct-union + lexicographic sort + cap
+    (reference mainWordlist.go:92-103)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(T.words(F.lower(F.col("text")))).alias("word"))
+        .distinct()
+        .orderBy("word")
+        .limit(100)
+    )
+
+
+SQL_SORT_WORDLIST_TOPK = f"""
+SELECT DISTINCT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+FROM documents ORDER BY word LIMIT 100
+"""
+
+
+def q_slice_cap(spark, sf):
+    """O67: per-row extraction cap *before* explode (the reference caps
+    at 100 urls/ips per page, mainReport.go:113-115 — early limit)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0)), 1, 5)
+        ).alias("word"),
+    )
+
+
+SQL_SLICE_CAP = f"""
+SELECT doc_id, unnest((regexp_extract_all(text, '{WORD_RE}'))[1:5]) AS word
+FROM documents
+"""
+
+
+def q_union_extractors(spark, sf):
+    """O70: union of two extractor outputs, deduped (reference
+    mainWordlist.go:196-207 rel∪abs urls)."""
+    docs = _t(spark, sf, "documents")
+    a = docs.filter(F.col("source") == "src0").select(
+        F.explode(T.words(F.lower(F.col("text")))).alias("word")
+    )
+    b = docs.filter(F.col("source") == "src1").select(
+        F.explode(T.words(F.lower(F.col("text")))).alias("word")
+    )
+    return a.union(b).distinct()
+
+
+SQL_UNION_EXTRACTORS = f"""
+SELECT DISTINCT word FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+  FROM documents WHERE source = 'src0'
+  UNION ALL
+  SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+  FROM documents WHERE source = 'src1'
+)
+"""
+
+
+def q_anti_join_resume(spark, sf):
+    """O46/O52/O72: resume anti-join — drop keys already in the
+    'history' set (reference mainDNS.go:108-119)."""
+    orders = _t(spark, sf, "orders")
+    seen = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("k"))
+    return orders.join(
+        seen, orders["o_custkey"] == seen["k"], "left_anti"
+    ).select("o_orderkey", "o_custkey")
+
+
+SQL_ANTI_JOIN_RESUME = """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
+"""
+
+
+def q_cross_join_templates(spark, sf):
+    """O53+O33: template × word cross join with <word> substitution
+    (reference mainWordlist.go:69-87); small side broadcast."""
+    region = _t(spark, sf, "region").select(
+        F.concat(F.lit("probe-<word>-"), F.col("r_name")).alias("template")
+    )
+    words = _t(spark, sf, "nation").select(F.lower("n_name").alias("word")).distinct()
+    return region.crossJoin(F.broadcast(words)).select(
+        F.replace(F.col("template"), F.lit("<word>"), F.col("word")).alias("candidate")
+    )
+
+
+SQL_CROSS_JOIN_TEMPLATES = """
+SELECT replace(template, '<word>', word) AS candidate
+FROM (SELECT 'probe-<word>-' || r_name AS template FROM region)
+CROSS JOIN (SELECT DISTINCT lower(n_name) AS word FROM nation)
+"""
+
+
+def q_window_dequeue(spark, sf):
+    """O69: the politeness dequeue shape — top-3 per partition key by
+    (priority desc, tiebreak asc) window rank."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "value", "rk")
+    )
+
+
+SQL_WINDOW_DEQUEUE = """
+SELECT user_id, event_id, value, rk FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+  FROM events)
+WHERE rk <= 3
+"""
+
+
+def q_status_classify(spark, sf):
+    """O45/O21: status-code classification case/when (reference
+    mainBucketScan.go:117-134 404/403 branches)."""
+    li = _t(spark, sf, "lineitem")
+    cls = (
+        F.when(F.col("l_returnflag") == "R", F.lit("returned"))
+        .when(F.col("l_returnflag") == "A", F.lit("acknowledged"))
+        .otherwise(F.lit("none"))
+    )
+    return li.groupBy(cls.alias("status")).agg(F.count("*").alias("cnt"))
+
+
+SQL_STATUS_CLASSIFY = """
+SELECT CASE WHEN l_returnflag = 'R' THEN 'returned'
+            WHEN l_returnflag = 'A' THEN 'acknowledged'
+            ELSE 'none' END AS status,
+       count(*) AS cnt
+FROM lineitem GROUP BY 1
+"""
+
+
+# =====================================================================
+# Relational breadth (agg + join shapes at scale)
+# =====================================================================
+
+def q_pricing_summary(spark, sf):
+    """TPC-H-Q1-shaped aggregation; decimal-exact sums cast to double."""
+    li = _t(spark, sf, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d2("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+  cast(sum(cast(l_extendedprice as decimal(18,2)) *
+           (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double)
+      AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_orders_customers(spark, sf):
+    """Broadcast-dim equi-join + aggregation."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SQL_JOIN_ORDERS_CUSTOMERS = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# =====================================================================
+# Training-data pipeline: dedupe family
+# =====================================================================
+
+def q_dedup_exact(spark, sf):
+    return T.dedup_exact(_t(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS digest, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+_MD5I = "cast(('0x' || substr(md5({x}), 1, 8)) as bigint)"
+
+_SH_CTE = """
+ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s AS shingle FROM (
+    SELECT doc_id,
+           unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in generate_series(1, len(w) - 2)]) AS s
+    FROM ws)
+  WHERE length(s) > 0)
+"""
+
+
+def q_dedup_minhash(spark, sf):
+    return T.minhash_lsh_pairs(_t(spark, sf, "documents"), n_hashes=8, band_size=2)
+
+
+_MINHASH_COLS = ",\n  ".join(
+    "min({h}) AS mh{p}".format(h=_MD5I.format(x="'p%d|' || shingle" % p), p=p)
+    for p in range(8)
+)
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_id, "
+    f"cast(mh{2*b} as varchar) || '_' || cast(mh{2*b+1} as varchar) AS band_hash FROM sig"
+    for b in range(4)
+)
+SQL_DEDUP_MINHASH = f"""
+WITH {_SH_CTE},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+{_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    return T.simhash16(_t(spark, sf, "documents"))
+
+
+_BITS = ",\n  ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16)
+)
+_SIMSUM = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+SQL_DEDUP_SIMHASH = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+  FROM documents),
+h AS (SELECT doc_id, {_MD5I.format(x='word')} AS h FROM w),
+b AS (SELECT doc_id, {_BITS} FROM h GROUP BY doc_id)
+SELECT doc_id, cast({_SIMSUM} as bigint) AS simhash FROM b
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    return T.ngram_jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.05)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SH_CTE},
+shs AS (SELECT sh.doc_id, shingle, source FROM sh JOIN documents USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shs a JOIN shs b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05
+"""
+
+
+# =====================================================================
+# Training-data pipeline: text analysis
+# =====================================================================
+
+def q_langid(spark, sf):
+    return T.langid(_t(spark, sf, "documents"))
+
+
+_STOPS = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+SQL_LANGID = f"""
+SELECT doc_id,
+  round(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOPS})))
+        / greatest(len(string_split(lower(text), ' ')), 1), 6) AS stop_ratio,
+  CASE WHEN round(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOPS})))
+        / greatest(len(string_split(lower(text), ' ')), 1), 6) >= 0.02
+       THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf):
+    return T.quality_score(_t(spark, sf, "documents"))
+
+
+SQL_QUALITY_SCORE = f"""
+WITH f AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+          / greatest(length(text), 1), 6) AS alpha_ratio,
+    round(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOPS})))
+          / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio
+  FROM documents)
+SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
+  floor((least(n_tokens / 64.0, 1.0) * 0.5 + alpha_ratio * 0.3
+         + least(stop_ratio * 10.0, 1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
+FROM f
+"""
+
+
+def q_token_count(spark, sf):
+    return T.token_counts_by_source(_t(spark, sf, "documents"))
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT source,
+  sum(len(string_split(text, ' '))) AS ws_tokens,
+  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+  count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def q_fingerprint(spark, sf):
+    return T.fingerprints(_t(spark, sf, "documents"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# =====================================================================
+# Similarity search over embeddings
+# =====================================================================
+
+def _query_vec(spark, sf):
+    row = (
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_cosine_topk(spark, sf):
+    return ANN.brute_force_topk(_t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10)
+
+
+SQL_ANN_COSINE_TOPK = """
+SELECT vec_id,
+  round(list_cosine_similarity(cast(embedding as double[]),
+    (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_norms(spark, sf):
+    return ANN.norm_stats_by_label(_t(spark, sf, "embeddings"))
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT label,
+  round(avg(nrm), 6) AS avg_norm, round(min(nrm), 6) AS min_norm,
+  round(max(nrm), 6) AS max_norm, count(*) AS n
+FROM (SELECT label,
+        sqrt(list_aggregate(list_transform(cast(embedding as double[]),
+                                           x -> x * x), 'sum')) AS nrm
+      FROM embeddings)
+GROUP BY label
+"""
+
+
+# =====================================================================
+# Crawl engine + multimodal (no SQL equivalent → rows-only check)
+# =====================================================================
+
+def q_crawl_e2e(spark, sf):
+    """Flagship: full crawl round-loop on a deterministic world —
+    returns the crawl log (ordering is the north_rule correctness
+    surface, validated against the sequential oracle in pytest)."""
+    from ..sources.corpus import WorldConfig
+    from ..streaming.engine import CrawlEngine, EngineConfig
+
+    world = WorldConfig(n_hosts=4, base_pages=8, hot_factor=3, tag="drv")
+    cfg = EngineConfig(
+        state_dir=tempfile.mkdtemp(prefix="ncs_drv_"),
+        world=world,
+        max_rounds=4,
+        max_pages=48,
+        fetch_tasks=8,
+        expected_urls=1 << 12,
+    )
+    eng = CrawlEngine(spark, cfg)
+    eng.run()
+    return eng.crawl_log()
+
+
+def q_multimodal_decode(spark, sf):
+    """Image decode/feature plumbing over the payload table."""
+    from ..sources.corpus import WorldConfig, all_page_urls, images_pdf
+
+    world = WorldConfig(n_hosts=3, base_pages=6, hot_factor=2, tag="drv-img")
+    pdf = images_pdf(world, all_page_urls(world))
+    images = spark.createDataFrame(pdf)
+    return MM.decode_features(images, n_tasks=8)
+
+
+def q_ann_lsh_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    dim = len(_query_vec(spark, sf))
+    planes = ANN.deterministic_planes(dim, n_planes=6)
+    return ANN.lsh_topk(emb, _query_vec(spark, sf), planes, k=10)
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "report_wordlist": q_report_wordlist,
+    "report_query_keys": q_report_query_keys,
+    "sort_wordlist_topk": q_sort_wordlist_topk,
+    "slice_cap": q_slice_cap,
+    "union_extractors": q_union_extractors,
+    "anti_join_resume": q_anti_join_resume,
+    "cross_join_templates": q_cross_join_templates,
+    "window_dequeue": q_window_dequeue,
+    "status_classify": q_status_classify,
+    "pricing_summary": q_pricing_summary,
+    "join_orders_customers": q_join_orders_customers,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "langid": q_langid,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_norms": q_embedding_norms,
+    "crawl_e2e": q_crawl_e2e,
+    "multimodal_decode": q_multimodal_decode,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "report_wordlist": SQL_REPORT_WORDLIST,
+    "report_query_keys": SQL_REPORT_QUERY_KEYS,
+    "sort_wordlist_topk": SQL_SORT_WORDLIST_TOPK,
+    "slice_cap": SQL_SLICE_CAP,
+    "union_extractors": SQL_UNION_EXTRACTORS,
+    "anti_join_resume": SQL_ANTI_JOIN_RESUME,
+    "cross_join_templates": SQL_CROSS_JOIN_TEMPLATES,
+    "window_dequeue": SQL_WINDOW_DEQUEUE,
+    "status_classify": SQL_STATUS_CLASSIFY,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "langid": SQL_LANGID,
+    "quality_score": SQL_QUALITY_SCORE,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+    # crawl_e2e / multimodal_decode / ann_lsh_topk: no SQL equivalent
+    # (stateful loop / binary codecs / LSH probe) → rows-only check.
+}
