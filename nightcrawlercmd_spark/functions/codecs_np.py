@@ -165,20 +165,23 @@ _D32 = _dct_matrix(32)
 
 
 def _resize_area(gray: np.ndarray, size: int = 32) -> np.ndarray:
-    """Deterministic area-ish resize to size×size (index-sampled mean)."""
+    """Deterministic area-ish resize to size×size (integral-image box
+    means, fully vectorized — this runs per image in the fetch hot path)."""
     h, w = gray.shape
     ys = (np.arange(size + 1) * h // size).astype(np.int64)
     xs = (np.arange(size + 1) * w // size).astype(np.int64)
-    out = np.empty((size, size), dtype=np.float64)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
     csum[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
-    for i in range(size):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(size):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            s = csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
-            out[i, j] = s / ((y1 - y0) * (x1 - x0))
-    return out
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    s = (
+        csum[np.ix_(y1, x1)]
+        - csum[np.ix_(y0, x1)]
+        - csum[np.ix_(y1, x0)]
+        + csum[np.ix_(y0, x0)]
+    )
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return s / area
 
 
 def phash64(img: np.ndarray) -> int:

@@ -18,6 +18,9 @@ _HREF_RE = re.compile(r"""href\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
 _SRC_RE = re.compile(r"""src\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
 _TAG_RE = re.compile(r"<script.*?</script>|<style.*?</style>|<[^>]+>", re.DOTALL)
 _WS_RE = re.compile(r"\s+")
+_FORM_RE = re.compile(r"<form\b([^>]*)>(.*?)</form>", re.IGNORECASE | re.DOTALL)
+_ATTR_RE = re.compile(r"""(\w+)\s*=\s*["']([^"']*)["']""")
+_INPUT_RE = re.compile(r"<input\b([^>]*)>", re.IGNORECASE)
 
 
 def _as_text(body) -> str:
@@ -36,6 +39,26 @@ def extract_hrefs(body) -> list[str]:
 
 def extract_srcs(body) -> list[str]:
     return _SRC_RE.findall(_as_text(body))
+
+
+def extract_forms(body) -> list[dict]:
+    """Forms with action/method + input names (reference pageReport.Forms,
+    mainReport.go:44, consumed by the formtags report mainReport.go:243-259)."""
+    out = []
+    for m in _FORM_RE.finditer(_as_text(body)):
+        attrs = dict(_ATTR_RE.findall(m.group(1)))
+        inputs = [
+            dict(_ATTR_RE.findall(i.group(1))).get("name", "")
+            for i in _INPUT_RE.finditer(m.group(2))
+        ]
+        out.append(
+            {
+                "action": attrs.get("action", ""),
+                "method": attrs.get("method", "").upper(),
+                "inputs": inputs,
+            }
+        )
+    return out
 
 
 def html_to_text(body) -> str:

@@ -69,7 +69,11 @@ class PartitionedBloom:
 
     @staticmethod
     def size_for(expected_keys: int, cfg: BloomConfig) -> int:
-        m = max(1024, expected_keys * cfg.bits_per_key)
+        """Bits of EACH partition filter: the expected keys spread over
+        cfg.partitions filters (total memory = expected*bits_per_key,
+        not partitions×that — a P× sizing bug here turns the per-round
+        broadcast into the scaling bottleneck)."""
+        m = max(1024, expected_keys * cfg.bits_per_key // cfg.partitions)
         return 1 << int(math.ceil(math.log2(m)))  # pow2 → cheap modulo
 
     def _empty(self) -> np.ndarray:

@@ -29,11 +29,15 @@ def dequeue(
     default_budget: int,
     max_take: int | None = None,
 ) -> DataFrame:
-    """Top-budget pending URLs per host, with a global ``seq`` column.
+    """Top-budget pending URLs per host.
 
     ``robots`` is a small dimension (host, crawl_budget) — broadcast.
-    ``max_take`` truncates the round by the same global total order
-    (max-pages gate; reference mainCrawler.go:149-155, O48).
+    ``max_take`` truncates the round by the pinned global total order
+    (max-pages gate; reference mainCrawler.go:149-155, O48) — the only
+    case that pays a single-partition window, and it only ever sees the
+    already-budget-cut dequeued set. The crawl-log sequence number is
+    *derived at read time* from (priority desc, canon_url), never
+    materialized in the hot path.
     """
     per_host = Window.partitionBy("host").orderBy(
         F.desc("priority"), F.asc("canon_url")
@@ -47,9 +51,11 @@ def dequeue(
         .filter(F.col("__rk") <= F.col("budget"))
         .drop("__rk", "budget", "crawl_budget")
     )
-    # Global order over the (small) dequeued set → crawl-log sequence.
-    total = Window.orderBy(F.desc("priority"), F.asc("canon_url"))
-    ranked = ranked.withColumn("seq", F.row_number().over(total))
     if max_take is not None:
-        ranked = ranked.filter(F.col("seq") <= max_take)
+        total = Window.orderBy(F.desc("priority"), F.asc("canon_url"))
+        ranked = (
+            ranked.withColumn("__seq", F.row_number().over(total))
+            .filter(F.col("__seq") <= max_take)
+            .drop("__seq")
+        )
     return ranked

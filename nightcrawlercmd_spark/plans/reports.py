@@ -1,0 +1,206 @@
+"""The report suite: one pages scan → six derived tables → CSV sinks.
+
+Re-expresses the reference's ``report`` subcommand (mainReport.go:
+354-398: loadData → pageReports → six ';'-delimited CSVs) as a single
+cached DataFrame feeding six projections/aggregations:
+
+  crawledurls — url, status, duration, redirect Location (mainReport.go:182-210)
+  querykeys   — distinct URL query key → sample page (mainReport.go:355-372;
+                last-writer-wins in the reference is nondeterministic →
+                we pin min(url), documented delta SURVEY.md O62)
+  invalidtags — per-page HTML validation findings (mainReport.go:124-127)
+  wordlist    — word → count + first page (mainReport.go:261-300; first =
+                min(url), delta O59)
+  formtags    — form × input double explode (mainReport.go:243-259)
+  allurls     — global distinct hrefs (mainReport.go:212-241)
+
+All heavy lifting is one Python pass (``page_features_udf``) that
+derives text/words/urls/ips/forms/validation from the body at once —
+the reference does the same fusion row-by-row in loadPage
+(mainReport.go:96-172); here it is one Arrow-batched stage and the six
+reports are cheap relational projections Catalyst prunes independently.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.html import extract_forms, extract_hrefs, html_to_text
+
+# reference caps: 100 urls, 100 IPs, 2000 words per page (mainReport.go:113-134)
+CAP_URLS, CAP_IPS, CAP_WORDS = 100, 100, 2000
+
+_WORD_RE = re.compile(r"[a-zA-Z][a-z]{3,}")
+_URL_RE = re.compile(r"https?://[^\s\"'<>]+")
+_IP_RE = re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")
+# tags we accept (stand-in for the reference's config/tags.json ruleset)
+_KNOWN_TAGS = frozenset(
+    "html head body title p a img form input div span ul li ol h1 h2 h3 br hr "
+    "table tr td th script style meta link".split()
+)
+_TAG_SCAN_RE = re.compile(r"<\s*([a-zA-Z][a-zA-Z0-9]*)")
+
+FEATURES_SCHEMA = (
+    "text string, words array<string>, text_urls array<string>, "
+    "text_ips array<string>, query_keys array<string>, "
+    "forms array<struct<action: string, method: string, inputs: array<string>>>, "
+    "invalid_tags array<string>, hrefs array<string>"
+)
+
+
+def _query_keys(url: str) -> list[str]:
+    q = url.split("?", 1)
+    if len(q) < 2 or not q[1]:
+        return []
+    return sorted({kv.split("=", 1)[0] for kv in q[1].split("&") if kv})
+
+
+def _validate(body_text: str) -> list[str]:
+    """Unknown-tag findings (shape of htmlcheck.ValidateHtmlString, O31)."""
+    return sorted(
+        {t.lower() for t in _TAG_SCAN_RE.findall(body_text) if t.lower() not in _KNOWN_TAGS}
+    )
+
+
+def page_features_udf():
+    def fn(url: pd.Series, body: pd.Series) -> pd.DataFrame:
+        rows = []
+        for u, b in zip(url, body):
+            raw = (
+                bytes(b).decode("utf-8", errors="replace") if b is not None else ""
+            )
+            text = html_to_text(b)
+            rows.append(
+                {
+                    "text": text,
+                    "words": _WORD_RE.findall(text)[:CAP_WORDS],
+                    "text_urls": _URL_RE.findall(text)[:CAP_URLS],
+                    "text_ips": _IP_RE.findall(text)[:CAP_IPS],
+                    "query_keys": _query_keys(u),
+                    "forms": extract_forms(b),
+                    "invalid_tags": _validate(raw),
+                    "hrefs": extract_hrefs(b),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return F.pandas_udf(fn, FEATURES_SCHEMA)
+
+
+def page_reports(pages: DataFrame) -> DataFrame:
+    """The shared scan: pages (html only, like the reference's MIME
+    filter O22) + derived feature columns. Cache this and derive all
+    six reports from it."""
+    html_pages = pages.filter(
+        (F.col("status_code") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+    return html_pages.withColumn(
+        "f", page_features_udf()(F.col("canon_url"), F.col("body"))
+    ).select("canon_url", "status_code", "resp_ms", "location", "error", "f.*")
+
+
+# ---- the six reports -------------------------------------------------------
+
+def crawledurls(pages: DataFrame) -> DataFrame:
+    """All fetched URLs incl. errors/redirects (not just html 200s)."""
+    return pages.select(
+        F.col("canon_url").alias("url"),
+        "status_code",
+        F.col("resp_ms").alias("duration_ms"),
+        F.coalesce("location", F.lit("")).alias("location"),
+        F.coalesce("error", F.lit("")).alias("error"),
+    )
+
+
+def querykeys(reports: DataFrame) -> DataFrame:
+    return (
+        reports.select(F.explode("query_keys").alias("query_key"), "canon_url")
+        .groupBy("query_key")
+        .agg(F.min("canon_url").alias("sample_url"))
+    )
+
+
+def invalidtags(reports: DataFrame) -> DataFrame:
+    return reports.select(
+        "canon_url", F.explode("invalid_tags").alias("invalid_tag")
+    )
+
+
+def wordlist(reports: DataFrame) -> DataFrame:
+    return (
+        reports.select(F.explode("words").alias("w"), "canon_url")
+        .select(F.lower("w").alias("word"), "canon_url")
+        .filter(F.length(F.trim("word")) > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"), F.min("canon_url").alias("first_url"))
+    )
+
+
+def formtags(reports: DataFrame) -> DataFrame:
+    """Double explode: page → forms → inputs (mainReport.go:243-259)."""
+    forms = reports.select(
+        "canon_url", F.posexplode("forms").alias("form_idx", "form")
+    )
+    return forms.select(
+        "canon_url",
+        "form_idx",
+        F.col("form.action").alias("action"),
+        F.col("form.method").alias("method"),
+        F.explode_outer("form.inputs").alias("input_name"),
+    )
+
+
+def allurls(reports: DataFrame) -> DataFrame:
+    """Global distinct hrefs across every page (O60)."""
+    return (
+        reports.select(F.explode("hrefs").alias("url"))
+        .filter(F.length(F.trim("url")) > 0)
+        .distinct()
+    )
+
+
+def run_report_suite(pages: DataFrame, out_dir: str | None = None) -> dict[str, DataFrame]:
+    """One scan, six outputs (optionally written as ';'-CSV like the
+    reference, O8). Returns the DataFrames keyed by report name."""
+    reports = page_reports(pages).persist()
+    out = {
+        "crawledurls": crawledurls(pages),
+        "querykeys": querykeys(reports),
+        "invalidtags": invalidtags(reports),
+        "wordlist": wordlist(reports),
+        "formtags": formtags(reports),
+        "allurls": allurls(reports),
+    }
+    if out_dir:
+        for name, df in out.items():
+            (
+                df.coalesce(1)
+                .write.mode("overwrite")
+                .option("sep", ";")
+                .option("header", True)
+                .csv(f"{out_dir}/{name}")
+            )
+    return out
+
+
+# ---- wordlist-subcommand analog (mainWordlist.go) --------------------------
+
+def wordlist_pipeline(pages: DataFrame) -> DataFrame:
+    """The `wordlist` subcommand: extract words ∪ urls ∪ emails from
+    text, lower+trim, distinct, lexicographic sort
+    (mainWordlist.go:78-103,177-224)."""
+    reports = page_reports(pages)
+    words = reports.select(F.explode("words").alias("token"))
+    urls = reports.select(F.explode("text_urls").alias("token"))
+    return (
+        words.union(urls)
+        .select(F.lower(F.trim("token")).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+        .orderBy("token")
+    )

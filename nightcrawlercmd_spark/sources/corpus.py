@@ -20,6 +20,7 @@ The world:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -41,16 +42,29 @@ class WorldConfig:
     hot_factor: int = 8
     links_lo: int = 3
     links_hi: int = 10
+    budget_lo: int = 2
+    budget_hi: int = 6
+    seeds_lo: int = 2
+    seeds_hi: int = 4
+    img_lo: int = 16  # image payload dimension range (px)
+    img_hi: int = 64
     out_of_scope_hosts: int = 2  # extra hosts that appear in links but not seeds
     tag: str = "w1"  # world salt — change to get a different universe
 
 
+@lru_cache(maxsize=32)
 def hosts(cfg: WorldConfig) -> list[str]:
     return [f"host{i:02d}.{cfg.tag}.test" for i in range(cfg.n_hosts)]
 
 
+@lru_cache(maxsize=32)
 def out_of_scope(cfg: WorldConfig) -> list[str]:
     return [f"offsite{i:02d}.{cfg.tag}.test" for i in range(cfg.out_of_scope_hosts)]
+
+
+@lru_cache(maxsize=32)
+def _known_hosts(cfg: WorldConfig) -> frozenset[str]:
+    return frozenset(hosts(cfg)) | frozenset(out_of_scope(cfg))
 
 
 def n_pages(cfg: WorldConfig, host: str) -> int:
@@ -66,7 +80,7 @@ def page_url(host: str, j: int) -> str:
 def crawl_budget(cfg: WorldConfig, host: str) -> int:
     """Per-host max URLs per round (politeness analog of `-wait 500`,
     reference mainCrawler.go:45,81 — rate becomes budget/round)."""
-    return hint(2, 6, cfg.tag, host, "budget")
+    return hint(cfg.budget_lo, cfg.budget_hi, cfg.tag, host, "budget")
 
 
 def priority_of(canon_url: str, depth: int) -> float:
@@ -94,9 +108,9 @@ def seed_rows(cfg: WorldConfig) -> list[dict]:
     rows: list[str] = []
     hs = hosts(cfg)
     for hst in hs:
-        cnt = 2 + h64(cfg.tag, hst, "ns") % 3
+        cnt = hint(cfg.seeds_lo, cfg.seeds_hi, cfg.tag, hst, "ns")
         if hst == hs[0]:
-            cnt = max(4, len(hs))  # hot host overrepresented
+            cnt = max(2 * cnt, len(hs))  # hot host overrepresented
         for k in range(cnt):
             j = hint(0, n_pages(cfg, hst) - 1, cfg.tag, hst, "seed", k)
             style = h64(cfg.tag, hst, "seedstyle", k) % 5
@@ -172,8 +186,7 @@ def fetch_one(cfg: WorldConfig, canon_url: str) -> dict:
         "resp_ms": resp_ms,
         "error": None,
     }
-    known = set(hosts(cfg)) | set(out_of_scope(cfg))
-    if host not in known:
+    if host not in _known_hosts(cfg):
         base["status_code"] = 0
         base["error"] = "dns: no such host"
         base["body"] = b""
@@ -194,16 +207,27 @@ def fetch_one(cfg: WorldConfig, canon_url: str) -> dict:
         base["location"] = page_url(host, j - 1)
         base["body"] = b""
         return base
-    caption = _caption(cfg, canon_url)
-    img_id = image_id_of(cfg, canon_url)
+    # image + caption are keyed by the page identity (host, j): URL
+    # variants of the same page (query strings) serve the same payload,
+    # so every fetched image_id exists in the enumerated images table
+    pkey = page_url(host, max(j, 0))
+    caption = _caption(cfg, pkey)
+    img_id = image_id_of(cfg, pkey)
     nlinks = hint(cfg.links_lo, cfg.links_hi, cfg.tag, canon_url, "nl")
     links = [_href(cfg, canon_url, host, i) for i in range(nlinks)]
     if links:
         links.append(links[0])  # guaranteed duplicate href (exercises O61)
     anchors = "\n".join(f'<a href="{u}">link {i}</a>' for i, u in enumerate(links))
+    form = ""
+    if h64(cfg.tag, canon_url, "hasform") % 3 == 0:  # ~1/3 of pages carry a form
+        inputs = "".join(
+            f'<input name="{hchoice(_VOCAB, cfg.tag, canon_url, "inp", i)}{i}">'
+            for i in range(hint(1, 3, cfg.tag, canon_url, "ninp"))
+        )
+        form = f'<form action="/search" method="get">{inputs}</form>\n'
     body = (
         f"<html><head><title>{host} {j}</title></head><body>\n"
-        f"<p>{caption}</p>\n{anchors}\n"
+        f"<p>{caption}</p>\n{anchors}\n{form}"
         f'<img src="/img/{img_id}.png" alt="{caption}">\n'
         f"</body></html>"
     ).encode()
@@ -215,8 +239,8 @@ def fetch_one(cfg: WorldConfig, canon_url: str) -> dict:
 
 def gen_image(cfg: WorldConfig, image_id: str) -> tuple[np.ndarray, int, int, str]:
     """Deterministic pixels for an image id: gradient + hash noise."""
-    w = hint(16, 64, cfg.tag, image_id, "w")
-    h = hint(16, 64, cfg.tag, image_id, "h")
+    w = hint(cfg.img_lo, cfg.img_hi, cfg.tag, image_id, "w")
+    h = hint(cfg.img_lo, cfg.img_hi, cfg.tag, image_id, "h")
     fmt = hchoice(FORMATS, cfg.tag, image_id, "fmt")
     yy, xx = np.mgrid[0:h, 0:w]
     seed = h64(cfg.tag, image_id, "px") % (2**32)

@@ -36,8 +36,13 @@ from pyspark.sql import functions as F
 from ..operators.bloomseen import BloomConfig, PartitionedBloom, bloom_partition_df, build_filter_deltas
 from ..operators.dequeue import dequeue
 from ..operators.fetch import fetch_stage
-from ..operators.links import enqueue_rows, priority_udf
-from ..sources.corpus import WorldConfig
+from ..operators.links import (
+    enqueue_rows,
+    host_of_col,
+    path_of_col,
+    robots_allowed_filter,
+)
+from ..sources.corpus import WorldConfig, priority_of
 from ..sources.tableio import StateStore
 from ..functions.urlnorm import canonicalize
 
@@ -68,15 +73,20 @@ class EngineConfig:
     n_salts: int = 8
     fetch_tasks: int = 32
     use_bloom: bool = True
+    decode_images: bool = False  # fetch+decode image payloads per page
     expected_urls: int = 1 << 17
     bloom: BloomConfig = field(default_factory=BloomConfig)
 
 
-def canonicalize_udf():
-    def fn(url: pd.Series) -> pd.Series:
-        return url.map(canonicalize)
+def seed_udf():
+    """url → struct(canon_url, priority@depth0) — one fused Python pass."""
 
-    return F.pandas_udf(fn, "string")
+    def fn(url: pd.Series) -> pd.DataFrame:
+        canon = url.map(canonicalize)
+        prio = [None if c is None else priority_of(c, 0) for c in canon]
+        return pd.DataFrame({"canon_url": canon, "priority": prio})
+
+    return F.pandas_udf(fn, "canon_url string, priority double")
 
 
 def _with_salt_cols(df: DataFrame, n_salts: int) -> DataFrame:
@@ -87,7 +97,7 @@ def robots_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
     from ..sources.corpus import robots_rows
 
     return spark.createDataFrame(
-        robots_rows(cfg.world),
+        pd.DataFrame(robots_rows(cfg.world)),  # pandas → arrow fast path
         schema="host string, disallow_prefixes array<string>, crawl_budget int",
     )
 
@@ -97,7 +107,7 @@ def seeds_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
         return spark.read.parquet(cfg.seeds_path)
     from ..sources.corpus import seed_rows
 
-    return spark.createDataFrame(seed_rows(cfg.world), schema="url string")
+    return spark.createDataFrame(pd.DataFrame(seed_rows(cfg.world)), schema="url string")
 
 
 class CrawlEngine:
@@ -116,42 +126,37 @@ class CrawlEngine:
         cfg = self.cfg
         seeds = (
             seeds_df(self.spark, cfg)
-            .select(canonicalize_udf()(F.col("url")).alias("canon_url"))
+            .select(seed_udf()(F.col("url")).alias("s"))
+            .select("s.canon_url", "s.priority")
             .filter(F.col("canon_url").isNotNull())
-            .withColumn("host", F.lower(F.parse_url(F.col("canon_url"), F.lit("HOST"))))
+            .withColumn("host", host_of_col(F.col("canon_url")))
+            .persist()  # one Python pass feeds scope-collect AND the write
         )
         if cfg.scope_seed_hosts:
             scope = sorted(
                 r["host"] for r in seeds.select("host").distinct().collect()
             )
-            seeds = seeds.filter(F.col("host").isin(scope))
         else:
             scope = None
         # robots applies to seeds too (north_rule: robots compliance)
-        seeds = (
-            seeds.withColumn(
-                "path", F.coalesce(F.parse_url(F.col("canon_url"), F.lit("PATH")), F.lit("/"))
-            )
-            .join(F.broadcast(self.robots.select("host", "disallow_prefixes")), "host", "left")
-            .filter(
-                F.col("disallow_prefixes").isNull()
-                | ~F.exists(F.col("disallow_prefixes"), lambda p: F.startswith(F.col("path"), p))
-            )
-            .select("canon_url", "host")
-            .distinct()
-        )
+        seeds = robots_allowed_filter(
+            seeds.withColumn("path", path_of_col(F.col("canon_url"))), self.robots
+        ).drop("path")
         pend = (
-            seeds.withColumn("url_hash", F.xxhash64("canon_url"))
+            seeds.groupBy("canon_url", "host")
+            .agg(F.min("priority").alias("priority"))  # distinct (canon is fn → same prio)
+            .withColumn("url_hash", F.xxhash64("canon_url"))
             .withColumn("host_hash", F.xxhash64("host"))
             .withColumn("depth", F.lit(0))
-            .withColumn("priority", priority_udf()(F.col("canon_url"), F.col("depth")))
             .withColumn("discovered_round", F.lit(0))
             .withColumn("parent_url_hash", F.lit(None).cast("bigint"))
         )
         pend = _with_salt_cols(pend, cfg.n_salts).select(*PENDING_COLS)
         self.store.write_snapshot(pend.repartition(cfg.fetch_tasks, "host_hash", "salt"), "pending", 0)
-        seen0 = self.store.read_snapshot(self.spark, "pending", 0).select(
-            "url_hash", "canon_url", F.lit(0).alias("first_round"), "depth", "parent_url_hash"
+        seeds.unpersist()
+        # seen delta shares the pending shape (+first_round) across all rounds
+        seen0 = self.store.read_snapshot(self.spark, "pending", 0).withColumn(
+            "first_round", F.lit(0)
         )
         self.store.append(seen0, "seen", 0)
         n = self.store.read_snapshot(self.spark, "pending", 0).count()
@@ -183,6 +188,18 @@ class CrawlEngine:
     # ------------------------------------------------------------ round ---
 
     def _run_round(self, r: int, scope_hosts: list[str] | None, fetched_total: int) -> dict:
+        import os
+        import time as _time
+
+        _timing = os.environ.get("NCS_TIMING") == "1"
+        _t = [_time.time()]
+
+        def tick(label: str) -> None:
+            if _timing:
+                now = _time.time()
+                print(f"    [round {r}] {label}: {now - _t[0]:.1f}s", flush=True)
+                _t[0] = now
+
         cfg, store, spark = self.cfg, self.store, self.spark
         pending = store.read_snapshot(spark, "pending", r - 1)
         remaining = None
@@ -191,10 +208,12 @@ class CrawlEngine:
             if remaining <= 0:
                 return {"fetched": 0, "stop": True}
         deq = dequeue(pending, self.robots, cfg.default_budget, max_take=remaining)
-        pages = fetch_stage(deq, cfg.world, cfg.fetch_tasks)
+        pages = fetch_stage(deq, cfg.world, cfg.fetch_tasks, decode_images=cfg.decode_images)
         store.append(pages, "pages", r)  # materializes the fetch exactly once
+        tick("dequeue+fetch+write_pages")
         pages = store.read_snapshot(spark, "pages", r)
         n_fetched = pages.count()
+        tick("count_pages")
         if n_fetched == 0:
             store.write_snapshot(pending, "pending", r)
             store.commit(r, {"fetched_total": fetched_total, "pending": pending.count(),
@@ -202,16 +221,21 @@ class CrawlEngine:
             return {"fetched": 0, "stop": True}
         store.append(
             pages.select(
-                F.lit(r).alias("round"), "seq", "canon_url", "status_code", "host", "depth"
+                F.lit(r).alias("round"), "canon_url", "status_code", "host",
+                "depth", "priority"
             ),
             "crawl_log",
             r,
         )
+        tick("write_crawl_log")
         cands = enqueue_rows(pages, self.robots, scope_hosts, r)
         seen = store.read_appends(spark, "seen", r - 1)
         if cfg.use_bloom:
             bloom = self._ensure_bloom(r - 1)
-            tagged = bloom_partition_df(cands, bloom)
+            # persist: the bloom split consumes `tagged` twice (fresh +
+            # suspects) — without the cache the extract/dedupe pipeline
+            # runs twice per round
+            tagged = bloom_partition_df(cands, bloom).persist()
             fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             suspects = (
                 tagged.filter(F.col("maybe_seen"))
@@ -220,24 +244,21 @@ class CrawlEngine:
             )
             new = fresh.unionByName(suspects)
         else:
+            tagged = None
             new = cands.join(seen.select("url_hash"), "url_hash", "left_anti")
         new = _with_salt_cols(new, cfg.n_salts).select(*PENDING_COLS)
+        # the seen delta carries the full pending shape (lineage incl.) so
+        # the next-round pending rows are a column-pruned re-read, not a
+        # recompute; first_round == discovered_round here.
         store.append(
-            new.select(
-                "url_hash", "canon_url", F.lit(r).alias("first_round"), "depth", "parent_url_hash"
-            ),
+            new.withColumn("first_round", F.lit(r)),
             "seen",
             r,
         )
-        new_pending = _with_salt_cols(
-            store.read_snapshot(spark, "seen", r)
-            .select("canon_url", "url_hash", "first_round", "depth", "parent_url_hash")
-            .withColumn("host", F.lower(F.parse_url(F.col("canon_url"), F.lit("HOST"))))
-            .withColumn("host_hash", F.xxhash64("host"))
-            .withColumn("priority", priority_udf()(F.col("canon_url"), F.col("depth")))
-            .withColumn("discovered_round", F.col("first_round")),
-            cfg.n_salts,
-        ).select(*PENDING_COLS)
+        if tagged is not None:
+            tagged.unpersist()
+        tick("enqueue+dedupe+write_seen")
+        new_pending = store.read_snapshot(spark, "seen", r).select(*PENDING_COLS)
         # dequeued rows == this round's pages (already materialized) —
         # reuse them for the pending subtraction instead of re-running
         # the dequeue window.
@@ -247,13 +268,16 @@ class CrawlEngine:
         store.write_snapshot(
             next_pending.repartition(cfg.fetch_tasks, "host_hash", "salt"), "pending", r
         )
+        tick("write_pending")
         n_pending = store.read_snapshot(spark, "pending", r).count()
+        tick("count_pending")
         # extend bloom with this round's discoveries
         if cfg.use_bloom and self._bloom is not None:
             delta = store.read_snapshot(spark, "seen", r)
             self._bloom.add_filter_rows(
                 build_filter_deltas(delta, cfg.bloom, self._bloom.m_bits)
             )
+            tick("bloom_delta_build")
         store.commit(
             r,
             {
@@ -267,19 +291,26 @@ class CrawlEngine:
     # ------------------------------------------------------------- run ----
 
     def run(self) -> dict:
+        import time as _time
+
         cfg, store = self.cfg, self.store
         if store.last_round() is None:
             self._init_round0()
         last = store.last_round()
         scope_hosts = store.meta(0)["scope_hosts"]
-        stats = {"rounds": last}
+        stats: dict = {"rounds": last, "round_times": []}
         for r in range(last + 1, cfg.max_rounds + 1):
             fetched_total = store.meta(r - 1)["fetched_total"]
             if store.meta(r - 1).get("pending") == 0:
                 break
             if cfg.max_pages is not None and fetched_total >= cfg.max_pages:
                 break
+            t0 = _time.time()
             out = self._run_round(r, scope_hosts, fetched_total)
+            stats["round_times"].append(
+                {"round": r, "seconds": round(_time.time() - t0, 2),
+                 "fetched": out.get("fetched", 0)}
+            )
             stats["rounds"] = r
             if out.get("stop"):
                 break
@@ -289,8 +320,20 @@ class CrawlEngine:
     # ------------------------------------------------------- accessors ----
 
     def crawl_log(self) -> DataFrame:
+        """Crawl log with the derived sequence number. The total order
+        is pinned as (round, priority desc, canon_url); seq is an
+        analytics-time window, never part of the crawl hot path."""
+        from pyspark.sql import Window
+
         df = self.store.read_appends(self.spark, "crawl_log", self.store.last_round() or 0)
-        return df.orderBy("round", "seq") if df is not None else None
+        if df is None:
+            return None
+        w = Window.partitionBy("round").orderBy(F.desc("priority"), F.asc("canon_url"))
+        return (
+            df.withColumn("seq", F.row_number().over(w))
+            .select("round", "seq", "canon_url", "status_code", "host", "depth")
+            .orderBy("round", "seq")
+        )
 
     def seen(self) -> DataFrame:
         return self.store.read_appends(self.spark, "seen", self.store.last_round() or 0)

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from nightcrawlercmd_spark.functions import codecs_np as C
-from nightcrawlercmd_spark.sources.corpus import WorldConfig, gen_image, image_id_of
+from nightcrawlercmd_spark.sources.corpus import WorldConfig, gen_image
 from nightcrawlercmd_spark.streaming.engine import CrawlEngine, EngineConfig
 from nightcrawlercmd_spark.streaming.simulator import simulate
 
@@ -91,7 +91,6 @@ def test_payload_invariants(engine_result, spark, tmp_path_factory):
     joined = fetched.join(images, "image_id").collect()
     assert joined, "no fetched pages joined to images"
     for row in joined[:50]:
-        assert row["image_id"] == image_id_of(WORLD, row["canon_url"])
         ref_img, w, h, fmt = gen_image(WORLD, row["image_id"])
         assert (w, h, fmt) == (row["w"], row["h"], row["fmt"])
         dec = C.decode(bytes(row["bytes"]), row["fmt"], row["w"], row["h"])
