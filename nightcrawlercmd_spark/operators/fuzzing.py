@@ -1,0 +1,88 @@
+"""Seeded deterministic fuzz-case generation (SURVEY.md O79, D10).
+
+The reference fuzzer pins a PRNG seed and draws per-iteration choices
+(mainFuzzer.go:87-117; config/fuzzinginput.json: seed 40039, 1000
+iterations, BuildLogic "url"). A stateful PRNG doesn't distribute, so
+the engine derives every choice from a *counter hash* instead:
+choice(i, slot) = md5int(seed, i, slot) mod |options| — identical
+results on any partitioning, and expressible in ANSI SQL for the
+oracle (md5 is bit-identical across engines).
+
+The vector classes mirror the reference's fuzzing input shape
+(Vectors map[string][]string) with our own values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# our own small grammar (shape of D10's Vectors map; values ours)
+DEFAULT_VECTORS: dict[str, list[str]] = {
+    "scheme": ["http", "https"],
+    "host": ["alpha.test", "beta.test", "gamma.test"],
+    "path": ["/", "/p/1", "/search", "/a/b/c", "/index"],
+    "payload": ["<x>", "'1=1", "%00", "AAAA", "../.."],
+}
+DEFAULT_SEED = 40039  # reference default, config/fuzzinginput.json:14
+
+
+def _pick(seed: int, slot: str, options: list[str]):
+    """Counter-hash choice as a Column: md5int(seed|slot|id) % n."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), F.lit(slot), F.col("id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    n = len(options)
+    idx = F.pmod(h, F.lit(n))
+    expr = F.lit(options[0])
+    for i in range(1, n):
+        expr = F.when(idx == i, F.lit(options[i])).otherwise(expr)
+    return expr
+
+
+def generate(
+    spark: SparkSession,
+    iterations: int = 1000,
+    seed: int = DEFAULT_SEED,
+    vectors: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """One fuzz case per iteration: url assembled from hashed choices
+    (BuildLogic 'url', mainFuzzer.go:96-117 shape)."""
+    v = vectors or DEFAULT_VECTORS
+    df = spark.range(iterations).select(F.col("id").cast("bigint").alias("id"))
+    for slot, options in v.items():
+        df = df.withColumn(slot, _pick(seed, slot, options))
+    return df.select(
+        "id",
+        F.concat(
+            F.col("scheme"), F.lit("://"), F.col("host"), F.col("path"),
+            F.lit("?q="), F.col("payload"),
+        ).alias("fuzz_url"),
+    )
+
+
+def oracle_sql(iterations: int = 1000, seed: int = DEFAULT_SEED) -> str:
+    """DuckDB twin of generate() — same md5 counter-hash choices."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def pick(slot: str, options: list[str]) -> str:
+        n = len(options)
+        h = (
+            f"cast(('0x' || substr(md5('{seed}|{slot}|' || cast(id as varchar)), 1, 8)) as bigint)"
+        )
+        expr = q(options[0])
+        for i in range(1, n):
+            expr = f"CASE WHEN ({h} % {n} + {n}) % {n} = {i} THEN {q(options[i])} ELSE {expr} END"
+        return expr
+
+    v = DEFAULT_VECTORS
+    return f"""
+SELECT id,
+  {pick('scheme', v['scheme'])} || '://' || {pick('host', v['host'])} ||
+  {pick('path', v['path'])} || '?q=' || {pick('payload', v['payload'])} AS fuzz_url
+FROM (SELECT unnest(generate_series(0, {iterations - 1})) AS id)
+"""

@@ -517,6 +517,64 @@ def q_ann_lsh_topk(spark, sf):
     return ANN.lsh_topk(emb, _query_vec(spark, sf), planes, k=10)
 
 
+def q_fuzzer_generate(spark, sf):
+    """O79/D10: seeded deterministic fuzz-case generation (counter-hash
+    choices — distributable, and md5 makes it oracle-checkable)."""
+    from ..operators import fuzzing
+
+    return fuzzing.generate(spark, iterations=1000)
+
+
+def _sql_fuzzer():
+    from ..operators import fuzzing
+
+    return fuzzing.oracle_sql(iterations=1000)
+
+
+def q_dns_sweep(spark, sf):
+    """O46+O58+O65: wordlist sweep with resume anti-join and
+    found/not-found classification (simulated resolver → rows-only)."""
+    from ..sources.connectors import simulate_dns_sweep
+
+    words = _t(spark, sf, "nation").select(F.lower("n_name").alias("word"))
+    history = spark.createDataFrame(
+        [("germany.sweep.test",), ("france.sweep.test",)], "name string"
+    )
+    return simulate_dns_sweep(spark, words, "sweep.test", history)
+
+
+def q_bucket_scan(spark, sf):
+    """O54+O34+O45: words × providers cross join, {w} substitution,
+    status classification (simulated probe → rows-only)."""
+    import pandas as pd
+
+    from ..sources.connectors import bucket_scan
+
+    words = _t(spark, sf, "region").select(F.lower("r_name").alias("word"))
+    providers = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"name": "p1", "url_template": "https://{w}.p1.test", "not_found_code": 404, "denied_code": 403},
+                {"name": "p2", "url_template": "https://p2.test/{w}", "not_found_code": 400, "denied_code": 401},
+            ]
+        ),
+        "name string, url_template string, not_found_code int, denied_code int",
+    )
+    return bucket_scan(spark, words, providers)
+
+
+def q_httpscan_matrix(spark, sf):
+    """O55-O57+O35: probe matrix (params/headers/segments × vectors)
+    over synthetic URLs + substring-found scan (rows-only)."""
+    from ..plans.httpscan import run_scan
+
+    urls = spark.createDataFrame(
+        [(f"http://scan{i:02d}.test/a/b{i}?x={i}&y=2",) for i in range(20)],
+        "url string",
+    )
+    return run_scan(spark, urls)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -546,6 +604,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_e2e": q_crawl_e2e,
     "multimodal_decode": q_multimodal_decode,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "fuzzer_generate": q_fuzzer_generate,
+    "dns_sweep": q_dns_sweep,
+    "bucket_scan": q_bucket_scan,
+    "httpscan_matrix": q_httpscan_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -570,6 +632,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_norms": SQL_EMBEDDING_NORMS,
-    # crawl_e2e / multimodal_decode / ann_lsh_topk: no SQL equivalent
-    # (stateful loop / binary codecs / LSH probe) → rows-only check.
+    "fuzzer_generate": _sql_fuzzer(),
+    # crawl_e2e / multimodal_decode / ann_lsh_topk / dns_sweep /
+    # bucket_scan / httpscan_matrix: no SQL equivalent (stateful loop /
+    # binary codecs / LSH probe / simulated connectors) → rows-only.
 }

@@ -1,0 +1,146 @@
+"""Network-connector analogs: DNS sweep, port scan, bucket scan.
+
+The reference's dns/portscan/bucketscan subcommands are sequential
+network loops (mainDNS.go:86-106, mainPortScan.go:14-56,
+mainBucketScan.go:95-137). The engine expresses each as a dataflow —
+wordlist/sequence source → resume anti-join → cross join with a
+broadcast dimension → mapInPandas connector → classification — with a
+deterministic synthetic responder standing in for the network (this
+sandbox is offline; a real deployment swaps the responder inside the
+same batch function).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import h64, hint
+
+
+# ------------------------------------------------------------- DNS --------
+
+def simulate_dns_sweep(
+    spark: SparkSession,
+    words: DataFrame,
+    domain: str,
+    history: DataFrame | None = None,
+) -> DataFrame:
+    """word × domain template → resolve → found/not-found rows
+    (O58 name build, O46 resume anti-join, O65 found aggregation).
+
+    words: DataFrame(word string); history: DataFrame(name string).
+    """
+    names = words.select(
+        F.concat(F.trim("word"), F.lit("."), F.lit(domain)).alias("name")
+    ).filter(F.length(F.trim("word")) > 0).distinct()
+    if history is not None:
+        names = names.join(history.select("name"), "name", "left_anti")
+
+    def resolve_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name in pdf["name"]:
+                # deterministic fake resolver: ~40% of names resolve
+                if h64("dns", name) % 5 < 2:
+                    n = hint(1, 3, "dnsn", name)
+                    entries = [
+                        f"10.{h64('ip', name, i) % 256}.{h64('ip2', name, i) % 256}."
+                        f"{h64('ip3', name, i) % 256}"
+                        for i in range(n)
+                    ]
+                else:
+                    entries = []
+                rows.append({"name": name, "entries": entries})
+            yield pd.DataFrame(rows)
+
+    resolved = names.repartition(max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
+        resolve_batch, schema="name string, entries array<string>"
+    )
+    return resolved.select(
+        "name",
+        (F.size("entries") > 0).alias("found"),
+        F.explode_outer("entries").alias("entry"),
+    )
+
+
+# --------------------------------------------------------- port scan ------
+
+def simulate_port_scan(
+    spark: SparkSession, host: str, start: int, end: int
+) -> DataFrame:
+    """sequence(start,end) → explode → probe connector (O12/O14)."""
+    ports = spark.range(start, end + 1).select(F.col("id").cast("int").alias("port"))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for port in pdf["port"]:
+                open_ = h64("port", host, int(port)) % 17 == 0
+                rows.append(
+                    {
+                        "port": int(port),
+                        "open": bool(open_),
+                        "size": int(hint(16, 512, "psz", host, int(port))) if open_ else 0,
+                        "error": None if open_ else "connection refused",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ports.repartition(max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
+        probe, schema="port int, open boolean, size int, error string"
+    )
+
+
+# -------------------------------------------------------- bucket scan -----
+
+def bucket_scan(
+    spark: SparkSession, words: DataFrame, providers: DataFrame
+) -> DataFrame:
+    """words × providers cross join → probe → status classification
+    (O54 cross join, O34 {w} substitution, O45 classifier).
+
+    providers: DataFrame(name string, url_template string /*…{w}…*/,
+    not_found_code int, denied_code int) — broadcast dimension.
+    """
+    probes = words.select(F.trim("word").alias("word")).filter(
+        F.length("word") > 0
+    ).crossJoin(F.broadcast(providers)).select(
+        "word",
+        "name",
+        F.replace(F.col("url_template"), F.lit("{w}"), F.col("word")).alias("url"),
+        "not_found_code",
+        "denied_code",
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["word", "name", "url", "not_found_code", "denied_code"]].copy()
+            codes = []
+            for url, nf, dn in zip(pdf["url"], pdf["not_found_code"], pdf["denied_code"]):
+                r = h64("bucket", url) % 10
+                codes.append(200 if r == 0 else (int(dn) if r <= 2 else int(nf)))
+            out["status_code"] = codes
+            yield out
+
+    scanned = probes.repartition(max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
+        probe,
+        schema=(
+            "word string, name string, url string, not_found_code int, "
+            "denied_code int, status_code int"
+        ),
+    )
+    # mainBucketScan.go:117-134: 404→skip, 403→denied, else found
+    return scanned.select(
+        "word",
+        "name",
+        "url",
+        "status_code",
+        F.when(F.col("status_code") == F.col("not_found_code"), "not found")
+        .when(F.col("status_code") == F.col("denied_code"), "access denied")
+        .otherwise("found")
+        .alias("result"),
+    )

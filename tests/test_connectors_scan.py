@@ -1,0 +1,108 @@
+"""DNS/portscan/bucketscan connector analogs + httpscan matrix + fuzzer."""
+
+import duckdb
+import pandas as pd
+
+from nightcrawlercmd_spark.operators import fuzzing
+from nightcrawlercmd_spark.plans.httpscan import probe_matrix, render_html, run_scan
+from nightcrawlercmd_spark.sources.connectors import (
+    bucket_scan,
+    simulate_dns_sweep,
+    simulate_port_scan,
+)
+
+
+def test_fuzzer_matches_duckdb_oracle(spark):
+    got = {
+        (r["id"], r["fuzz_url"]) for r in fuzzing.generate(spark, 200).collect()
+    }
+    want = set(
+        duckdb.connect().execute(fuzzing.oracle_sql(200)).fetchall()
+    )
+    assert got == want and len(got) == 200
+
+
+def test_fuzzer_deterministic(spark):
+    a = sorted(r["fuzz_url"] for r in fuzzing.generate(spark, 50).collect())
+    b = sorted(r["fuzz_url"] for r in fuzzing.generate(spark, 50).collect())
+    assert a == b
+
+
+def test_dns_sweep_resume_and_classification(spark):
+    words = spark.createDataFrame(
+        pd.DataFrame({"word": ["www", "mail", "dev", "api", "", "www"]}), "word string"
+    )
+    history = spark.createDataFrame(
+        pd.DataFrame({"name": ["mail.ex.test"]}), "name string"
+    )
+    out = simulate_dns_sweep(spark, words, "ex.test", history).collect()
+    names = {r["name"] for r in out}
+    assert "mail.ex.test" not in names  # resume anti-join (O46)
+    assert names <= {"www.ex.test", "dev.ex.test", "api.ex.test"}
+    for r in out:
+        assert r["found"] == (r["entry"] is not None)  # explode_outer
+
+
+def test_port_scan_range(spark):
+    rows = simulate_port_scan(spark, "h.test", 1, 256).collect()
+    assert len(rows) == 256
+    assert all((r["open"] and r["error"] is None) or (not r["open"]) for r in rows)
+    # deterministic across runs
+    again = simulate_port_scan(spark, "h.test", 1, 256).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bucket_scan_classification(spark):
+    words = spark.createDataFrame(pd.DataFrame({"word": ["acme", "data", "x"]}), "word string")
+    providers = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"name": "p1", "url_template": "https://{w}.p1.test", "not_found_code": 404, "denied_code": 403},
+                {"name": "p2", "url_template": "https://p2.test/{w}", "not_found_code": 400, "denied_code": 401},
+            ]
+        ),
+        "name string, url_template string, not_found_code int, denied_code int",
+    )
+    rows = bucket_scan(spark, words, providers).collect()
+    assert len(rows) == 6  # 3 words × 2 providers (O54 cross join)
+    for r in rows:
+        assert "{w}" not in r["url"] and r["word"] in r["url"]  # O34 substitution
+        want = {404: "not found", 403: "access denied", 400: "not found", 401: "access denied"}.get(
+            r["status_code"], "found"
+        )
+        assert r["result"] == want
+
+
+def test_httpscan_matrix_and_scan(spark):
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url": ["http://t.test/a/b?x=1&y=2", "http://t.test/solo"]}),
+        "url string",
+    )
+    m = probe_matrix(spark, urls).collect()
+    kinds = {(r["kind"]) for r in m}
+    assert kinds == {"param", "header", "segment"}
+    # params: only url1 (2 keys × 2 section-null vectors)
+    assert sum(1 for r in m if r["kind"] == "param") == 4
+    # segments: url1 has a,b; url2 has solo → 3 segments × 4 eligible vectors
+    assert sum(1 for r in m if r["kind"] == "segment") == 12
+    res = run_scan(spark, urls).collect()
+    assert len(res) == len(m)
+    html = render_html([r.asDict() for r in res[:5]])
+    assert html.startswith("<html>") and "<table>" in html
+
+
+def test_file_walk_source(spark, tmp_path):
+    """O5: recursive file walk → text rows with provenance."""
+    from pyspark.sql import functions as F
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "one.txt").write_text("alpha beta\n")
+    (tmp_path / "two.txt").write_text("gamma\n")
+    df = (
+        spark.read.text(str(tmp_path), recursiveFileLookup=True)
+        .withColumn("file", F.input_file_name())
+        .filter(F.length(F.trim("value")) > 0)
+    )
+    rows = df.collect()
+    assert {r["value"] for r in rows} == {"alpha beta", "gamma"}
+    assert all(r["file"].endswith(".txt") for r in rows)
