@@ -459,6 +459,23 @@ ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs, label-blocked self-join
+    (threshold tuned to the synthetic embeddings' similarity range —
+    the operator, not the threshold, is the point)."""
+    return ANN.cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH n AS (
+  SELECT vec_id, label, cast(embedding as double[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+"""
+
+
 def q_embedding_norms(spark, sf):
     return ANN.norm_stats_by_label(_t(spark, sf, "embeddings"))
 
@@ -513,8 +530,11 @@ def q_multimodal_decode(spark, sf):
 def q_ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     dim = len(_query_vec(spark, sf))
-    planes = ANN.deterministic_planes(dim, n_planes=6)
-    return ANN.lsh_topk(emb, _query_vec(spark, sf), planes, k=10)
+    # few planes + wide probe: the synthetic embeddings are weakly
+    # clustered (top-10 cosine ≈ 0.3-0.5), so recall needs a generous
+    # candidate set; denser real embeddings would use more planes
+    planes = ANN.deterministic_planes(dim, n_planes=4)
+    return ANN.lsh_topk(emb, _query_vec(spark, sf), planes, k=10, probe_hamming=2)
 
 
 def q_fuzzer_generate(spark, sf):
@@ -601,6 +621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_norms": q_embedding_norms,
+    "embedding_near_dup": q_embedding_near_dup,
     "crawl_e2e": q_crawl_e2e,
     "multimodal_decode": q_multimodal_decode,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -632,6 +653,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_norms": SQL_EMBEDDING_NORMS,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "fuzzer_generate": _sql_fuzzer(),
     # crawl_e2e / multimodal_decode / ann_lsh_topk / dns_sweep /
     # bucket_scan / httpscan_matrix: no SQL equivalent (stateful loop /

@@ -74,6 +74,7 @@ class EngineConfig:
     fetch_tasks: int = 32
     use_bloom: bool = True
     decode_images: bool = False  # fetch+decode image payloads per page
+    no_new_links: bool = False  # O78: enqueue only redirect Locations
     expected_urls: int = 1 << 17
     bloom: BloomConfig = field(default_factory=BloomConfig)
 
@@ -209,7 +210,21 @@ class CrawlEngine:
                 return {"fetched": 0, "stop": True}
         deq = dequeue(pending, self.robots, cfg.default_budget, max_take=remaining)
         pages = fetch_stage(deq, cfg.world, cfg.fetch_tasks, decode_images=cfg.decode_images)
+        # free per-round metrics: observed during the write action itself
+        from pyspark.sql import Observation
+
+        obs = Observation(f"round_{r}")
+        pages = pages.observe(
+            obs,
+            F.count(F.lit(1)).alias("fetched"),
+            F.sum((F.col("status_code") == 200).cast("int")).alias("ok_200"),
+            F.sum(F.col("status_code").between(300, 307).cast("int")).alias("redirects"),
+            F.sum(F.col("error").isNotNull().cast("int")).alias("errors"),
+            F.sum(F.col("img_phash").isNotNull().cast("int")).alias("images_decoded"),
+            F.sum("resp_ms").alias("sum_resp_ms"),
+        )
         store.append(pages, "pages", r)  # materializes the fetch exactly once
+        metrics = {k: (int(v) if v is not None else 0) for k, v in obs.get.items()}
         tick("dequeue+fetch+write_pages")
         pages = store.read_snapshot(spark, "pages", r)
         n_fetched = pages.count()
@@ -228,7 +243,12 @@ class CrawlEngine:
             r,
         )
         tick("write_crawl_log")
-        cands = enqueue_rows(pages, self.robots, scope_hosts, r)
+        link_src = pages
+        if cfg.no_new_links:
+            # reference no-new-links mode: page hrefs are NOT enqueued,
+            # only redirect Location targets (mainCrawler.go:164-173)
+            link_src = pages.filter(F.col("status_code").between(300, 307))
+        cands = enqueue_rows(link_src, self.robots, scope_hosts, r)
         seen = store.read_appends(spark, "seen", r - 1)
         if cfg.use_bloom:
             bloom = self._ensure_bloom(r - 1)
@@ -284,6 +304,7 @@ class CrawlEngine:
                 "fetched_total": fetched_total + n_fetched,
                 "pending": n_pending,
                 "fetched_round": n_fetched,
+                "metrics": metrics,
             },
         )
         return {"fetched": n_fetched, "pending": n_pending, "stop": n_pending == 0}

@@ -1,0 +1,134 @@
+"""Structured Streaming jobs over the engine's outputs.
+
+The crawl loop itself is driver-side rounds (the frontier feeds itself
+— SURVEY.md O73), but its *outputs* are append-only tables that stream
+naturally. Two jobs:
+
+* ``crawl_monitor`` — a file-source stream over the pages table with a
+  custom stateful operator (``applyInPandasWithState``): per-host
+  cumulative fetch counts and an exponential moving average of
+  response time, state carried across micro-batches. This is the
+  pattern a live crawl-ops dashboard runs on.
+* ``events_windowed_counts`` — event-time windowed aggregation with a
+  watermark for late data (SURVEY.md O80 noted the reference has no
+  event-time; the engine supports it anyway for stream tables like the
+  driver's ``events``). ``availableNow`` trigger → deterministic, and
+  the batch twin is the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.fetch import PAGE_SCHEMA
+
+MONITOR_OUTPUT_SCHEMA = (
+    "host string, pages bigint, errors bigint, ema_resp_ms double, batches int"
+)
+MONITOR_STATE_SCHEMA = "pages bigint, errors bigint, ema double, batches int"
+
+_EMA_ALPHA = 0.2
+
+
+def _monitor_fn(
+    key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        pages, errors, ema, nb = state.get
+    else:
+        pages, errors, ema, nb = 0, 0, None, 0
+    for pdf in batches:
+        pages += len(pdf)
+        errors += int(pdf["error"].notna().sum())
+        for v in pdf["resp_ms"]:
+            ema = float(v) if ema is None else (1 - _EMA_ALPHA) * ema + _EMA_ALPHA * float(v)
+    nb += 1
+    state.update((pages, errors, ema, nb))
+    yield pd.DataFrame(
+        [{"host": key[0], "pages": pages, "errors": errors,
+          "ema_resp_ms": ema, "batches": nb}]
+    )
+
+
+def crawl_monitor(
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint: str,
+    query_name: str = "crawl_monitor",
+    max_files_per_trigger: int | None = None,
+):
+    """Stream the pages table → per-host stateful stats (memory sink;
+    availableNow so tests drain deterministically)."""
+    src = (
+        spark.readStream.schema(PAGE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        src = src.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    pages = src.parquet(f"{state_dir}/pages")
+    stats = pages.groupBy("host").applyInPandasWithState(
+        _monitor_fn,
+        outputStructType=MONITOR_OUTPUT_SCHEMA,
+        stateStructType=MONITOR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        stats.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def events_windowed_counts_stream(
+    spark: SparkSession, sf_dir: str, checkpoint: str, query_name: str = "ev_win"
+):
+    """10-minute tumbling windows over events.ts with a 5-minute
+    watermark, per event_type; availableNow drains the parquet once."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # events.parquet is a single file; the file stream source wants a
+    # directory → stream the dir with a glob filter
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # testdata ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
+    # TZ is pinned to UTC so the instants are identical)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "cnt", "sum_value"
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def events_windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin — the oracle for the streaming job."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt", "sum_value")
+    )

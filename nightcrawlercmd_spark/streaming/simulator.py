@@ -51,6 +51,7 @@ def simulate(
     default_budget: int = 4,
     max_rounds: int = 64,
     max_pages: int | None = None,
+    no_new_links: bool = False,
 ) -> SimResult:
     robots = {r["host"]: r["disallow_prefixes"] for r in robots_rows(world)}
     budgets = {h: crawl_budget(world, h) for h in robots}
@@ -99,7 +100,7 @@ def simulate(
             page = fetch_one(world, canon)
             res.fetched += 1
             res.log.append((r, seq, canon, page["status_code"]))
-            if page["status_code"] == 200:
+            if page["status_code"] == 200 and not no_new_links:
                 hrefs = extract_hrefs(page["body"])
             elif 300 <= page["status_code"] <= 307 and page["location"]:
                 hrefs = [page["location"]]
