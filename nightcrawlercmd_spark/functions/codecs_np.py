@@ -54,7 +54,7 @@ def encode_png(img: np.ndarray) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
     raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
     raw[:, 1:] = img.reshape(h, w * 3)  # filter type 0 per scanline
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), 1)  # wire compression: speed over ratio
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -92,42 +92,40 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 _D8 = _dct_matrix(8)
-
-
-def _blockify(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
-    h, w = chan.shape
-    ph, pw = (-h) % 8, (-w) % 8
-    padded = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
-    H, W = padded.shape
-    blocks = padded.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
-    return blocks, H, W
+_D8f = _D8.astype(np.float32)
 
 
 def encode_dctq(img: np.ndarray) -> bytes:
+    """All three channels DCT'd in one batched matmul (hot path: this
+    runs per fetched image inside the crawl's mapInPandas stage)."""
     h, w, _ = img.shape
-    out = [struct.pack(">HH", w, h)]
-    coeffs = []
-    for c in range(3):
-        blocks, H, W = _blockify(img[:, :, c].astype(np.float64) - 128.0)
-        dct = _D8 @ blocks @ _D8.T
-        q = np.round(dct / _Q_STEP).astype(np.int16)
-        coeffs.append(q.tobytes())
-    out.append(zlib.compress(b"".join(coeffs), 6))
-    return b"".join(out)
+    ph, pw = (-h) % 8, (-w) % 8
+    padded = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    H, W = padded.shape[:2]
+    # (H,W,3) → (nbh, nbw, 3, 8, 8) block tensor
+    blocks = (
+        padded.reshape(H // 8, 8, W // 8, 8, 3)
+        .transpose(0, 2, 4, 1, 3)
+        .astype(np.float32)
+    ) - np.float32(128.0)
+    dct = _D8f @ blocks @ _D8f.T
+    q = np.rint(dct / np.float32(_Q_STEP)).astype(np.int16)
+    return struct.pack(">HH", w, h) + zlib.compress(
+        # level 1: the coefficients are noise-like — level 6 costs 8x
+        # the CPU for ~10% better ratio (measured)
+        np.ascontiguousarray(q.transpose(2, 0, 1, 3, 4)).tobytes(), 1
+    )
 
 
 def decode_dctq(data: bytes) -> np.ndarray:
     w, h = struct.unpack(">HH", data[:4])
     H, W = h + ((-h) % 8), w + ((-w) % 8)
-    n = (H // 8) * (W // 8) * 64
+    nbh, nbw = H // 8, W // 8
     flat = np.frombuffer(zlib.decompress(data[4:]), dtype=np.int16)
-    img = np.empty((h, w, 3), dtype=np.uint8)
-    for c in range(3):
-        q = flat[c * n : (c + 1) * n].reshape(H // 8, W // 8, 8, 8).astype(np.float64)
-        blocks = _D8.T @ (q * _Q_STEP) @ _D8
-        chan = blocks.transpose(0, 2, 1, 3).reshape(H, W) + 128.0
-        img[:, :, c] = np.clip(np.round(chan[:h, :w]), 0, 255).astype(np.uint8)
-    return img
+    q = flat.reshape(3, nbh, nbw, 8, 8).astype(np.float32)
+    blocks = _D8f.T @ (q * np.float32(_Q_STEP)) @ _D8f
+    chans = blocks.transpose(1, 3, 2, 4, 0).reshape(H, W, 3) + np.float32(128.0)
+    return np.clip(np.rint(chans[:h, :w]), 0, 255).astype(np.uint8)
 
 
 # ------------------------------------------------------------- dispatch ---

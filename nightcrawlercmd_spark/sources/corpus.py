@@ -237,24 +237,29 @@ def fetch_one(cfg: WorldConfig, canon_url: str) -> dict:
 
 # -------------------------------------------------------------- images ----
 
-def gen_image(cfg: WorldConfig, image_id: str) -> tuple[np.ndarray, int, int, str]:
-    """Deterministic pixels for an image id: gradient + hash noise."""
-    w = hint(cfg.img_lo, cfg.img_hi, cfg.tag, image_id, "w")
-    h = hint(cfg.img_lo, cfg.img_hi, cfg.tag, image_id, "h")
-    fmt = hchoice(FORMATS, cfg.tag, image_id, "fmt")
+@lru_cache(maxsize=4096)
+def _gradient_base(w: int, h: int) -> np.ndarray:
+    """Cached per-(w,h) gradient (hot: regenerated per image otherwise)."""
     yy, xx = np.mgrid[0:h, 0:w]
-    seed = h64(cfg.tag, image_id, "px") % (2**32)
-    rng = np.random.Generator(np.random.Philox(seed))  # seeded → deterministic
-    base_img = np.stack(
+    return np.stack(
         [
             (xx * 255 // max(w - 1, 1)),
             (yy * 255 // max(h - 1, 1)),
             ((xx + yy) * 255 // max(w + h - 2, 1)),
         ],
         axis=-1,
-    ).astype(np.float64)
-    noise = rng.integers(-12, 13, size=(h, w, 3))
-    img = np.clip(base_img + noise, 0, 255).astype(np.uint8)
+    ).astype(np.int16)
+
+
+def gen_image(cfg: WorldConfig, image_id: str) -> tuple[np.ndarray, int, int, str]:
+    """Deterministic pixels for an image id: gradient + hash noise."""
+    w = hint(cfg.img_lo, cfg.img_hi, cfg.tag, image_id, "w")
+    h = hint(cfg.img_lo, cfg.img_hi, cfg.tag, image_id, "h")
+    fmt = hchoice(FORMATS, cfg.tag, image_id, "fmt")
+    seed = h64(cfg.tag, image_id, "px") % (2**32)
+    rng = np.random.Generator(np.random.Philox(seed))  # seeded → deterministic
+    noise = rng.integers(-12, 13, size=(h, w, 3), dtype=np.int16)
+    img = np.clip(_gradient_base(w, h) + noise, 0, 255).astype(np.uint8)
     return img, w, h, fmt
 
 

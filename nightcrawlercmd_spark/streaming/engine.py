@@ -75,6 +75,7 @@ class EngineConfig:
     use_bloom: bool = True
     decode_images: bool = False  # fetch+decode image payloads per page
     no_new_links: bool = False  # O78: enqueue only redirect Locations
+    compact_seen_every: int = 8  # consolidate seen deltas every K rounds
     expected_urls: int = 1 << 17
     bloom: BloomConfig = field(default_factory=BloomConfig)
 
@@ -171,6 +172,45 @@ class CrawlEngine:
             },
         )
 
+    # ------------------------------------------------------------ seen ----
+
+    def _read_seen(self, upto_round: int) -> DataFrame:
+        """seen = latest compacted base + the deltas after it. Without
+        compaction the per-round anti-join would read O(rounds) delta
+        dirs on long crawls (SURVEY.md §7.3.5 growth concern)."""
+        base_round = -1
+        for r in reversed(self.store.committed_rounds()):
+            if r > upto_round:
+                continue
+            if self.store.meta(r).get("seen_base_round") is not None:
+                base_round = self.store.meta(r)["seen_base_round"]
+                break
+        parts = []
+        if base_round >= 0 and self.store.exists("seen_base", base_round):
+            parts.append(self.store.read_snapshot(self.spark, "seen_base", base_round))
+        for r in self.store.committed_rounds():
+            if base_round < r <= upto_round and self.store.exists("seen", r):
+                parts.append(self.store.read_snapshot(self.spark, "seen", r))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def _maybe_compact_seen(self, r: int) -> int | None:
+        """Every K rounds, rewrite the union of deltas as one base."""
+        cfg = self.cfg
+        if not cfg.compact_seen_every or r % cfg.compact_seen_every != 0:
+            return None
+        # round r is not committed yet — union its just-written delta
+        # explicitly or the base would silently drop it
+        full = self._read_seen(r - 1)
+        if self.store.exists("seen", r):
+            full = full.unionByName(self.store.read_snapshot(self.spark, "seen", r))
+        self.store.write_snapshot(
+            full.repartition(cfg.fetch_tasks, "url_hash"), "seen_base", r
+        )
+        return r
+
     # ----------------------------------------------------------- bloom ----
 
     def _ensure_bloom(self, upto_round: int) -> PartitionedBloom:
@@ -180,7 +220,7 @@ class CrawlEngine:
             return self._bloom
         m_bits = self.store.meta(0)["bloom_m_bits"]
         bloom = PartitionedBloom(self.cfg.bloom, m_bits)
-        seen = self.store.read_appends(self.spark, "seen", upto_round)
+        seen = self._read_seen(upto_round)
         if seen is not None:
             bloom.add_filter_rows(build_filter_deltas(seen, self.cfg.bloom, m_bits))
         self._bloom = bloom
@@ -249,7 +289,7 @@ class CrawlEngine:
             # only redirect Location targets (mainCrawler.go:164-173)
             link_src = pages.filter(F.col("status_code").between(300, 307))
         cands = enqueue_rows(link_src, self.robots, scope_hosts, r)
-        seen = store.read_appends(spark, "seen", r - 1)
+        seen = self._read_seen(r - 1)
         if cfg.use_bloom:
             bloom = self._ensure_bloom(r - 1)
             # persist: the bloom split consumes `tagged` twice (fresh +
@@ -298,6 +338,11 @@ class CrawlEngine:
                 build_filter_deltas(delta, cfg.bloom, self._bloom.m_bits)
             )
             tick("bloom_delta_build")
+        base = self._maybe_compact_seen(r)
+        if base is None:
+            # carry the latest base forward so resume finds it
+            prev = self.store.meta(r - 1).get("seen_base_round")
+            base = prev
         store.commit(
             r,
             {
@@ -305,6 +350,7 @@ class CrawlEngine:
                 "pending": n_pending,
                 "fetched_round": n_fetched,
                 "metrics": metrics,
+                "seen_base_round": base,
             },
         )
         return {"fetched": n_fetched, "pending": n_pending, "stop": n_pending == 0}
@@ -357,7 +403,7 @@ class CrawlEngine:
         )
 
     def seen(self) -> DataFrame:
-        return self.store.read_appends(self.spark, "seen", self.store.last_round() or 0)
+        return self._read_seen(self.store.last_round() or 0)
 
     def pages(self) -> DataFrame:
         return self.store.read_appends(self.spark, "pages", self.store.last_round() or 0)
