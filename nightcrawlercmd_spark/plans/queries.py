@@ -497,11 +497,19 @@ GROUP BY label
 # =====================================================================
 
 def q_crawl_e2e(spark, sf):
-    """Flagship: full crawl round-loop on a deterministic world —
-    returns the crawl log (ordering is the north_rule correctness
-    surface, validated against the sequential oracle in pytest)."""
+    """Flagship: full crawl round-loop on a deterministic world.
+
+    Self-validating: each returned crawl-log row carries
+    ``matches_oracle`` — whether the independent sequential simulator
+    produced the identical (round, seq, url, status) entry — so the
+    driver's rows-only check still exposes any ordering/dedupe drift
+    in the row values themselves.
+    """
+    import pandas as pd
+
     from ..sources.corpus import WorldConfig
     from ..streaming.engine import CrawlEngine, EngineConfig
+    from ..streaming.simulator import simulate
 
     world = WorldConfig(n_hosts=4, base_pages=8, hot_factor=3, tag="drv")
     cfg = EngineConfig(
@@ -514,7 +522,21 @@ def q_crawl_e2e(spark, sf):
     )
     eng = CrawlEngine(spark, cfg)
     eng.run()
-    return eng.crawl_log()
+    sim = simulate(world, max_rounds=4, max_pages=48)
+    oracle = spark.createDataFrame(
+        pd.DataFrame(sim.log, columns=["round", "seq", "canon_url", "o_status"]),
+        "round int, seq int, canon_url string, o_status int",
+    )
+    log = eng.crawl_log()
+    return (
+        log.join(F.broadcast(oracle), ["round", "seq", "canon_url"], "left")
+        .withColumn(
+            "matches_oracle",
+            F.col("o_status").isNotNull() & (F.col("o_status") == F.col("status_code")),
+        )
+        .drop("o_status")
+        .orderBy("round", "seq")
+    )
 
 
 def q_multimodal_decode(spark, sf):
