@@ -116,6 +116,7 @@ def _set_affinity(n: int) -> set[int] | None:
 
 
 def run_crawl(cpus: int, rounds: int) -> dict:
+    hw_before = hardware_capacity(cpus, reps=1)
     prev_aff = _set_affinity(cpus)
     spark = get_spark(app=f"ncs-bench-crawl-{cpus}", cpus=cpus,
                       shuffle_partitions=max(8, cpus))
@@ -145,6 +146,10 @@ def run_crawl(cpus: int, rounds: int) -> dict:
         steady = [rt for rt in stats["round_times"][1:]]
         s_urls = sum(rt["fetched"] for rt in steady)
         s_secs = sum(rt["seconds"] for rt in steady) or 1e-9
+        peak = max(
+            (rt["fetched"] / rt["seconds"] for rt in stats["round_times"]),
+            default=None,
+        )
         return {
             "cpus": cpus,
             "urls": stats["fetched_total"],
@@ -152,6 +157,10 @@ def run_crawl(cpus: int, rounds: int) -> dict:
             "urls_per_sec": round(stats["fetched_total"] / dt, 1),
             "round_times": stats["round_times"],
             "steady_urls_per_sec": round(s_urls / s_secs, 1) if steady else None,
+            # best single round: robust when co-tenant load (one-sided
+            # noise — it only ever slows us down) hits mid-leg
+            "peak_round_urls_per_sec": round(peak, 1) if peak else None,
+            "hw_rate_before": hw_before,
         }
     finally:
         spark.stop()
@@ -169,6 +178,11 @@ def main() -> None:
                       shuffle_partitions=max(8, CPUS))
     from nightcrawlercmd_spark.plans.queries import QUERIES
 
+    # warm the session (codegen, parquet reader init, noop sink) so the
+    # first timed query doesn't absorb startup costs
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
@@ -179,7 +193,7 @@ def main() -> None:
 
     # --- crawl throughput at CPUS, then at CPUS/4 for scaling ---------
     hi = run_crawl(CPUS, rounds)
-    hi["hw_rate"] = hardware_capacity(CPUS)  # machine capacity *now*
+    hi["hw_rate"] = (hardware_capacity(CPUS, reps=1) + hi["hw_rate_before"]) / 2
     qtimes["crawl_engine"] = hi["seconds"]
     out = {
         "metric": "frontier URLs/sec (fetch+decode+dedupe+enqueue)",
@@ -192,10 +206,12 @@ def main() -> None:
     if os.environ.get("NCS_BENCH_SCALING", "1") != "0" and LOW_CPUS < CPUS:
         try:
             lo = run_crawl(LOW_CPUS, rounds)
-            lo["hw_rate"] = hardware_capacity(LOW_CPUS)
+            lo["hw_rate"] = (hardware_capacity(LOW_CPUS, reps=1) + lo["hw_rate_before"]) / 2
             eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (CPUS / LOW_CPUS)
             s_hi, s_lo = hi.get("steady_urls_per_sec"), lo.get("steady_urls_per_sec")
             s_eff = round((s_hi / s_lo) / (CPUS / LOW_CPUS), 3) if s_hi and s_lo else None
+            p_hi, p_lo = hi.get("peak_round_urls_per_sec"), lo.get("peak_round_urls_per_sec")
+            p_eff = round((p_hi / p_lo) / (CPUS / LOW_CPUS), 3) if p_hi and p_lo else None
             # hardware's achievable scaling between the two legs'
             # moments; engine efficiency normalized by it isolates
             # engine-added overhead from host contention
@@ -203,6 +219,7 @@ def main() -> None:
             out["crawl"]["lo"] = lo
             out["crawl"]["scaling_efficiency"] = round(eff, 3)
             out["crawl"]["steady_scaling_efficiency"] = s_eff
+            out["crawl"]["peak_scaling_efficiency"] = p_eff
             out["crawl"]["hardware_scaling"] = hw_eff
             out["crawl"]["scaling_efficiency_normalized"] = (
                 round((s_eff or eff) / hw_eff, 3) if hw_eff else None
