@@ -9,9 +9,15 @@ engine (``url_hash = xxhash64(canon_url)`` on the Spark side):
 * default ports dropped (http:80, https:443)
 * dot-segments resolved (RFC 3986 §5.2.4)
 * empty path → "/"
-* query parameters sorted by (key, value); empty query dropped
+* query parameters sorted as raw ``k=v`` byte strings; empty query
+  dropped. Pairs are NOT decoded/re-encoded: only the percent-triplet
+  normalization below is applied, so reserved encodings (``%26``,
+  ``%3D``, ``%2B``) stay distinct from their literal forms — RFC 3986
+  §2.2 requires that, and the url_hash seen-key must never collide two
+  distinct resources.
 * fragment stripped
 * percent-encodings uppercased; unreserved characters decoded
+* IPv6 literal hosts keep their brackets (``http://[::1]:8080/p``)
 
 The same pure-Python function backs the vectorized pandas UDF (engine
 side) and the sequential oracle (test side), so both worlds agree
@@ -22,12 +28,11 @@ from __future__ import annotations
 
 import re
 import string
-from urllib.parse import urlsplit, urlunsplit, parse_qsl, urlencode, urljoin
+from urllib.parse import urlsplit, urlunsplit, urljoin
 
 import pandas as pd
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
-_QUERY_SAFE = ":@!$&'()*+,;=/?~-._"
 _UNRESERVED = set(string.ascii_letters + string.digits + "-._~")
 _PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
 
@@ -84,16 +89,19 @@ def canonicalize(url: str) -> str | None:
         port = parts.port
     except ValueError:
         return None
-    netloc = host
+    # IPv6 literals come back bracket-stripped from .hostname — re-wrap
+    # or the rebuilt URL is invalid and not idempotent (ADVICE r1)
+    netloc = f"[{host}]" if ":" in host else host
     if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
-        netloc = f"{host}:{port}"
+        netloc = f"{netloc}:{port}"
     # path: normalize percent-encoding in place, resolve dot segments
     path = _remove_dot_segments(_norm_pct(parts.path) or "/")
-    # query: sorted key=value pairs, consistently re-encoded
+    # query: sort raw `k=v` pairs after percent-triplet normalization
+    # only — never unquote/requote (parse_qsl+urlencode collapses %26/%3D
+    # /%2B into their literal forms, colliding distinct resources)
     q = ""
     if parts.query:
-        pairs = parse_qsl(parts.query, keep_blank_values=True)
-        q = urlencode(sorted(pairs), safe=_QUERY_SAFE)
+        q = "&".join(sorted(_norm_pct(p) for p in parts.query.split("&") if p))
     return urlunsplit((scheme, netloc, path, q, ""))
 
 
@@ -115,6 +123,8 @@ def host_of(canon_url: str) -> str:
     """Host component of an already-canonical URL (cheap split)."""
     rest = canon_url.split("://", 1)[1]
     authority = rest.split("/", 1)[0]
+    if authority.startswith("["):  # IPv6 literal: [::1] or [::1]:8080
+        return authority[1 : authority.index("]")]
     return authority.rsplit(":", 1)[0] if ":" in authority else authority
 
 

@@ -40,10 +40,14 @@ def priority_udf():
 
 
 def host_of_col(canon: Column) -> Column:
-    """Host of a *canonical* URL via string ops (codegen, no parse_url)."""
-    return F.substring_index(
-        F.substring_index(F.substring_index(canon, "://", -1), "/", 1), ":", 1
-    )
+    """Host of a *canonical* URL via string ops (codegen, no parse_url).
+    IPv6 literals ([::1]:8080) unwrap to the bracket contents, matching
+    the Python ``urlnorm.host_of`` twin."""
+    auth = F.substring_index(F.substring_index(canon, "://", -1), "/", 1)
+    return F.when(
+        F.startswith(auth, F.lit("[")),
+        F.regexp_extract(auth, r"^\[([^\]]+)\]", 1),
+    ).otherwise(F.substring_index(auth, ":", 1))
 
 
 def path_of_col(canon: Column) -> Column:

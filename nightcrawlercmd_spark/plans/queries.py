@@ -418,8 +418,9 @@ def q_token_count(spark, sf):
 
 SQL_TOKEN_COUNT = r"""
 SELECT source,
-  sum(len(string_split(text, ' '))) AS ws_tokens,
-  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+  cast(sum(len(string_split(text, ' '))) as bigint) AS ws_tokens,
+  cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) as bigint)
+      AS bpe_tokens,
   count(*) AS n_docs
 FROM documents GROUP BY source
 """
@@ -504,16 +505,25 @@ def q_crawl_e2e(spark, sf):
     produced the identical (round, seq, url, status) entry — so the
     driver's rows-only check still exposes any ordering/dedupe drift
     in the row values themselves.
+
+    The state dir is deterministic (not mkdtemp-per-call): a driver
+    that invokes the query twice (count pass + hash pass) resumes the
+    committed state instead of re-crawling and leaking orphan dirs
+    (ADVICE r1). ``_STATE_VERSION`` salts the path so a semantics
+    change can never replay stale state.
     """
+    import os
+
     import pandas as pd
 
     from ..sources.corpus import WorldConfig
-    from ..streaming.engine import CrawlEngine, EngineConfig
+    from ..streaming.engine import CrawlEngine, EngineConfig, STATE_VERSION
     from ..streaming.simulator import simulate
 
     world = WorldConfig(n_hosts=4, base_pages=8, hot_factor=3, tag="drv")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     cfg = EngineConfig(
-        state_dir=tempfile.mkdtemp(prefix="ncs_drv_"),
+        state_dir=os.path.join(base, f"ncs_drv_{world.tag}_v{STATE_VERSION}"),
         world=world,
         max_rounds=4,
         max_pages=48,

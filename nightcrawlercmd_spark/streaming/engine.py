@@ -48,6 +48,11 @@ from ..functions.urlnorm import canonicalize
 
 import pandas as pd
 
+# Bump whenever round/ordering semantics change: deterministic state
+# dirs (e.g. q_crawl_e2e's) are salted with this so stale state from an
+# older engine version is never resumed.
+STATE_VERSION = 2
+
 PENDING_COLS = [
     "canon_url",
     "url_hash",

@@ -29,6 +29,14 @@ GOLDEN = [
     ("   ", None),
     # idempotence food: percent-encoding normalization
     ("http://h.test/a%2Fb", "http://h.test/a%2Fb"),
+    # reserved percent-encodings in the query survive (RFC 3986 §2.2):
+    # %26/%3D/%2B must NOT collapse into & / = / + (ADVICE r1)
+    ("http://h.test/p?a=b%26c%3Dd", "http://h.test/p?a=b%26c%3Dd"),
+    ("http://h.test/p?x=%2B1", "http://h.test/p?x=%2B1"),
+    ("http://h.test/p?x=+1", "http://h.test/p?x=+1"),
+    # IPv6 literal host keeps brackets (ADVICE r1)
+    ("http://[::1]:8080/p", "http://[::1]:8080/p"),
+    ("HTTP://[2001:DB8::1]/x", "http://[2001:db8::1]/x"),
 ]
 
 
@@ -56,3 +64,12 @@ def test_resolve():
 def test_host_of():
     assert host_of("http://h.test/p") == "h.test"
     assert host_of("http://h.test:8080/p") == "h.test"
+    assert host_of("http://[::1]:8080/p") == "::1"
+    assert host_of("http://[2001:db8::1]/x") == "2001:db8::1"
+
+
+def test_reserved_query_encodings_stay_distinct():
+    a = canonicalize("http://h.test/p?a=b%26c%3Dd")
+    b = canonicalize("http://h.test/p?a=b&c=d")
+    assert a != b
+    assert canonicalize("http://h.test/p?x=%2B1") != canonicalize("http://h.test/p?x=+1")
