@@ -1,0 +1,108 @@
+"""Configurable HTML validation with per-finding line numbers (O31).
+
+The reference validates pages against a configurable ``config/tags.json``
+ruleset (tag → allowed attributes) and attaches source line numbers to
+each error (``htmlcheck.ValidateHtmlString`` + ``UpdateErrorLines``;
+/root/reference/mainReport.go:124-127,358-360). Same shape here —
+findings are (line, tag, attr, reason) — but the ruleset values are our
+own (``tags_ruleset.json``, derived from the public HTML standard; the
+reference's 18 KB tags.json is its author's config, not copied).
+
+Reasons:
+
+* ``unknown-tag``  — tag not present in the ruleset
+* ``unknown-attr`` — tag known, attribute not in its allowed set nor in
+  the global-attribute set (``data-*`` and event handlers pass via the
+  explicit prefixes below, mirroring how such rulesets treat them)
+
+Pure Python over the raw bytes: runs inside the report suite's single
+fused page-feature UDF, so validation costs no extra Arrow pass.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from functools import lru_cache
+from importlib import resources
+
+_TAG_RE = re.compile(
+    r"<\s*([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)/?>"
+)
+# one attribute (name + optional value) — consumed SEQUENTIALLY so
+# words inside quoted values are never mistaken for attribute names
+_ATTR_RE = re.compile(
+    r"\s*([a-zA-Z_][a-zA-Z0-9_-]*)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]*))?"
+)
+_ALLOWED_PREFIXES = ("data-", "aria-")
+
+
+def _attr_names(body: str) -> list[str]:
+    out: list[str] = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        m = _ATTR_RE.match(body, pos)
+        if m is None or m.end() == pos:
+            pos += 1
+            continue
+        out.append(m.group(1).lower())
+        pos = m.end()
+    return out
+
+
+@lru_cache(maxsize=4)
+def load_ruleset(path: str | None = None) -> tuple[frozenset[str], dict[str, frozenset[str]]]:
+    """(global_attrs, {tag: allowed_attrs}) from a JSON ruleset file;
+    default = the packaged tags_ruleset.json."""
+    if path is None:
+        raw = resources.files("nightcrawlercmd_spark.functions").joinpath(
+            "tags_ruleset.json"
+        ).read_text()
+    else:
+        with open(path) as f:
+            raw = f.read()
+    cfg = json.loads(raw)
+    glob = frozenset(a.lower() for a in cfg.get("global_attributes", []))
+    tags = {
+        t.lower(): frozenset(a.lower() for a in attrs)
+        for t, attrs in cfg.get("tags", {}).items()
+    }
+    return glob, tags
+
+
+def validate_html(
+    raw: str, ruleset_path: str | None = None
+) -> list[dict]:
+    """Findings for one document: [{line, tag, attr, reason}, ...].
+
+    Line numbers are 1-based source lines, computed the way the
+    reference's UpdateErrorLines does — by position of the offending
+    tag in the original text."""
+    glob, tags = load_ruleset(ruleset_path)
+    findings: list[dict] = []
+    seen: set[tuple] = set()
+    for m in _TAG_RE.finditer(raw):
+        tag = m.group(1).lower()
+        line = raw.count("\n", 0, m.start()) + 1
+        if tag not in tags:
+            key = ("unknown-tag", tag, line)
+            if key not in seen:
+                seen.add(key)
+                findings.append(
+                    {"line": line, "tag": tag, "attr": "", "reason": "unknown-tag"}
+                )
+            continue
+        allowed = tags[tag]
+        for attr in _attr_names(m.group(2)):
+            if attr in allowed or attr in glob:
+                continue
+            if attr.startswith(_ALLOWED_PREFIXES) or attr.startswith("on"):
+                continue
+            key = ("unknown-attr", tag, attr, line)
+            if key not in seen:
+                seen.add(key)
+                findings.append(
+                    {"line": line, "tag": tag, "attr": attr, "reason": "unknown-attr"}
+                )
+    return findings

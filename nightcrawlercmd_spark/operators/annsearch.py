@@ -86,13 +86,26 @@ def lsh_topk(
     )
 
 
+def cosine_near_dup_lsh(
+    emb: DataFrame, planes: list[list[float]], threshold: float = 0.9
+) -> DataFrame:
+    """The composed scale path for embedding near-dup: hyperplane-LSH
+    bucketing → exact cosine within buckets. The self-join key is the
+    LSH bucket (data-derived, high-cardinality), not a toy label — the
+    form that survives 100 TB. Recall follows the LSH guarantee: pairs
+    split across buckets are missed, tune n_planes/probe accordingly."""
+    return cosine_near_dup_pairs(
+        hyperplane_signature(emb, planes), threshold, block_col="bucket"
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.9, block_col: str = "label"
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on ``block_col``
-    so the self-join is per-block, never the full cross product. At
-    scale the block key becomes an LSH bucket (hyperplane_signature);
-    the pair arithmetic is identical."""
+    so the self-join is per-block, never the full cross product. The
+    default ``label`` block is a small-scale verifier only; at scale
+    use ``cosine_near_dup_lsh`` (LSH-bucket block key)."""
     e = F.col("embedding").cast("array<double>")
     nrm = emb.select("vec_id", F.col(block_col).alias("blk"), e.alias("v")).withColumn(
         "n", _norm(F.col("v"))

@@ -9,11 +9,23 @@ candidates the filter cannot rule out. Bloom "no" is definitive (no
 false negatives) → those rows skip the shuffle entirely.
 
 Partitioning: filter ``pid = url_hash mod P``; each partition filter is
-built distributed (applyInPandas per pid) and OR-merged incrementally
-per round. In broadcast mode the P filters ship to executors as one
-dict (fine to ~1e8 keys); beyond that the same probe runs as a
-co-partitioned join against the ``seen_filters`` table — the build
-path is identical.
+built distributed (applyInPandas per pid, optionally sub-split so no
+single task materializes a whole partition's keys) and OR-merged
+incrementally per round.
+
+Two probe paths, same bit layout:
+
+* **broadcast** (``bloom_partition_df``): the P filters ship to
+  executors as one broadcast dict — right up to ~1e8 keys. The engine
+  owns the broadcast handle and destroys the previous generation each
+  round, so memory stays flat over long crawls.
+* **co-partitioned table probe** (``bloom_probe_cogroup``): candidates
+  grouped by pid are cogrouped with the persisted ``seen_filters(pid,
+  filter)`` rows — no driver state, no broadcast; a pid's blob is held
+  only by the task probing that pid. At the 10^10-URL design point
+  (BASELINE.json north_star) total filter bytes (~15 GB at 12
+  bits/key) exceed any broadcast budget; this path still works because
+  nothing ever holds more than one partition's filter.
 
 Filters are a cache, the ``seen`` table is the truth: resume rebuilds
 filters from the table, so a lost filter can never corrupt dedupe
@@ -109,11 +121,20 @@ class PartitionedBloom:
         return out
 
 
-def build_filter_deltas(
-    df: DataFrame, cfg: BloomConfig, m_bits: int, hash_col: str = "url_hash"
-) -> list[tuple[int, bytes]]:
-    """Distributed filter build: group keys by pid, build each
-    partition's bit array executor-side, collect the (small) blobs."""
+def build_filter_delta_df(
+    df: DataFrame,
+    cfg: BloomConfig,
+    m_bits: int,
+    hash_col: str = "url_hash",
+    subsplits: int = 1,
+) -> DataFrame:
+    """Distributed filter build as a DataFrame of (pid, filter) rows.
+
+    With ``subsplits > 1`` each pid's keys are built in that many
+    independent groups (multiple rows per pid; consumers OR-merge), so
+    no single task ever materializes a whole partition's key set —
+    the bound that matters when rebuilding from a 10^10-row seen table
+    at resume."""
     k, part = cfg.k, cfg.partitions
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -123,22 +144,52 @@ def build_filter_deltas(
         np.bitwise_or.at(arr, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         return pd.DataFrame({"pid": [pid], "filter": [arr.tobytes()]})
 
-    rows = (
-        df.select(hash_col)
-        .withColumn("pid", F.pmod(F.col(hash_col), F.lit(part)).cast("int"))
-        .groupBy("pid")
-        .applyInPandas(build, schema="pid int, filter binary")
-        .collect()
+    keyed = df.select(hash_col).withColumn(
+        "pid", F.pmod(F.col(hash_col), F.lit(part)).cast("int")
     )
+    if subsplits > 1:
+        keyed = keyed.withColumn(
+            "sub", F.pmod(F.abs(F.hash(F.col(hash_col))), F.lit(subsplits)).cast("int")
+        )
+        grouped = keyed.groupBy("pid", "sub")
+    else:
+        grouped = keyed.groupBy("pid")
+    return grouped.applyInPandas(build, schema="pid int, filter binary")
+
+
+def build_filter_deltas(
+    df: DataFrame,
+    cfg: BloomConfig,
+    m_bits: int,
+    hash_col: str = "url_hash",
+    subsplits: int = 1,
+) -> list[tuple[int, bytes]]:
+    """Collected form of ``build_filter_delta_df`` for the driver-held
+    broadcast path (blobs are small by construction there)."""
+    rows = build_filter_delta_df(df, cfg, m_bits, hash_col, subsplits).collect()
     return [(r["pid"], r["filter"]) for r in rows]
 
 
+def bloom_payload(bloom: PartitionedBloom) -> tuple:
+    """The broadcast payload for the probe UDF."""
+    return (bloom.cfg.partitions, bloom.cfg.k, bloom.m_bits, bloom.filters)
+
+
 def bloom_partition_df(
-    candidates: DataFrame, bloom: PartitionedBloom, hash_col: str = "url_hash"
+    candidates: DataFrame,
+    bloom: PartitionedBloom | None = None,
+    hash_col: str = "url_hash",
+    bc=None,
 ) -> DataFrame:
-    """Tag candidates with ``maybe_seen``; broadcast-probe pandas UDF."""
-    spark = SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast((bloom.cfg.partitions, bloom.cfg.k, bloom.m_bits, bloom.filters))
+    """Tag candidates with ``maybe_seen``; broadcast-probe pandas UDF.
+
+    Pass ``bc`` (a broadcast of ``bloom_payload(...)``) to reuse one
+    broadcast across calls — the caller owns its lifecycle and destroys
+    stale generations (a fresh broadcast per round that is never
+    unpersisted grows driver+executor memory unboundedly; ADVICE r1)."""
+    if bc is None:
+        spark = SparkSession.getActiveSession()
+        bc = spark.sparkContext.broadcast(bloom_payload(bloom))
 
     @F.pandas_udf("boolean")
     def probe(h: pd.Series) -> pd.Series:
@@ -148,3 +199,67 @@ def bloom_partition_df(
         return pd.Series(b.maybe_contains(h.to_numpy()))
 
     return candidates.withColumn("maybe_seen", probe(F.col(hash_col)))
+
+
+def or_merge_filters_df(filters: DataFrame) -> DataFrame:
+    """Compact a (pid, filter) delta table: OR-merge each pid's blobs
+    into one row (the filter-table analog of seen compaction)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for blob in pdf["filter"]:
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+        return pd.DataFrame({"pid": [int(pdf["pid"].iloc[0])], "filter": [acc.tobytes()]})
+
+    return filters.groupBy("pid").applyInPandas(merge, schema="pid int, filter binary")
+
+
+def bloom_probe_cogroup(
+    candidates: DataFrame,
+    filters: DataFrame,
+    cfg: BloomConfig,
+    m_bits: int,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Co-partitioned probe: tag candidates with ``maybe_seen`` without
+    any driver-held filter state or broadcast.
+
+    Candidates grouped by ``pid = url_hash mod P`` are cogrouped with
+    the persisted ``seen_filters(pid, filter)`` rows; each task ORs the
+    (possibly multi-delta) blobs for its pid and probes its candidate
+    slice vectorized. Scales to filter sets far beyond broadcast size —
+    the probe shuffle carries only the candidate rows, and each filter
+    blob moves to exactly one task."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    k = cfg.k
+    out_schema = StructType(
+        list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
+    )
+    cand = candidates.withColumn(
+        "__pid", F.pmod(F.col(hash_col), F.lit(cfg.partitions)).cast("int")
+    )
+
+    def probe(cdf: pd.DataFrame, fdf: pd.DataFrame) -> pd.DataFrame:
+        out = cdf.drop(columns=["__pid"])
+        if out.empty:
+            out["maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        if fdf.empty:
+            out["maybe_seen"] = False
+            return out
+        filt = None
+        for blob in fdf["filter"]:
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            filt = arr.copy() if filt is None else (filt | arr)
+        pos = _positions(out[hash_col].to_numpy(), k, m_bits)
+        bits = (filt[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        out["maybe_seen"] = bits.all(axis=1)
+        return out
+
+    return (
+        cand.groupBy("__pid")
+        .cogroup(filters.groupBy("pid"))
+        .applyInPandas(probe, schema=out_schema)
+    )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 
 from ..functions import codecs_np as C
 from ..functions.html import extract_hrefs
+from ..functions.linkfilter import filter_hrefs
 from ..functions.urlnorm import resolve
 from ..sources.corpus import WorldConfig, fetch_one, gen_image, priority_of
 
@@ -50,6 +51,9 @@ def fetch_stage(
     world: WorldConfig,
     n_tasks: int,
     decode_images: bool = False,
+    follow: list[str] | None = None,
+    dont_follow: list[str] | None = None,
+    strict_filters: bool = False,
 ) -> DataFrame:
     """dequeued frontier rows → fetched pages (one row per URL).
 
@@ -86,9 +90,13 @@ def fetch_stage(
                         img_cols[k].append(None)
                 # link extraction + canonicalization (SURVEY.md O30/O18)
                 if r["status_code"] == 200:
-                    hrefs = extract_hrefs(r["body"])
+                    # follow/dont-follow on the RAW href, pre-resolution
+                    # (reference mainCrawler.go:175-196, O20/O40)
+                    hrefs = filter_hrefs(
+                        extract_hrefs(r["body"]), follow, dont_follow, strict_filters
+                    )
                 elif 300 <= r["status_code"] <= 307 and r["location"]:
-                    hrefs = [r["location"]]  # redirect enqueue, O76
+                    hrefs = [r["location"]]  # redirect enqueue, O76 (never filtered)
                 else:
                     hrefs = []
                 cd = int(depth) + 1

@@ -76,7 +76,7 @@ def robots_allowed_filter(df: DataFrame, robots: DataFrame) -> DataFrame:
 def enqueue_rows(
     pages: DataFrame,
     robots: DataFrame,
-    scope_hosts: list[str] | None,
+    scope_hosts: DataFrame | None,
     round_no: int,
 ) -> DataFrame:
     """Candidate frontier rows for the next round (pre seen-dedupe).
@@ -103,7 +103,10 @@ def enqueue_rows(
         .withColumn("path", path_of_col(F.col("canon_url")))
     )
     if scope_hosts is not None:
-        cand = cand.filter(F.col("host").isin(scope_hosts))
+        # semi-join, not a driver-collected isin list: a seed set can be
+        # 10^8 hosts (VERDICT r1 item 10). AQE broadcasts the dim when
+        # it is small; a huge one degrades to a shuffled semi-join.
+        cand = cand.join(scope_hosts.select("host"), "host", "left_semi")
     cand = robots_allowed_filter(cand, robots)
     # deterministic in-batch dedupe: minimal (depth, parent) lineage per
     # URL; the child priority (a function of canon+child depth) rides

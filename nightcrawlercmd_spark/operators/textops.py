@@ -21,12 +21,59 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 WORD_RE = r"[a-zA-Z][a-z]{3,}"  # reference regex, mainWordlist.go:17
+# reference extractor regexes (mainWordlist.go:18-22), O28. Kept in a
+# Java-regex ∩ RE2 common dialect so Spark and the DuckDB oracle agree
+# byte-for-byte: email is umlaut-aware; quoted-string captures the run
+# between quotes ([[:print:]] in the reference → quote/newline-free
+# here, documented delta); url_rel/url_abs are the reference's two URL
+# shapes with the ambiguous `9-\.` class range written escaped.
+EMAIL_RE = (
+    r"[a-zA-Z0-9_öäüÄÖÜß\-\.]{3,}@[a-zA-Z0-9_öäüÄÖÜß\.\-]{2,}"
+    r"\.[a-zA-Z0-9_öäüÄÖÜß\.\-]{2,}"
+)
+QUOTED_RE = '"([^"\n]*?)"'
+SQUOTED_RE = "'([^'\n]*?)'"
+URL_REL_RE = r"[a-zA-Z0-9]*[/\\][a-zA-Z0-9\-._\\]{4,}"
+URL_ABS_RE = r"[a-zA-Z]{2,}://[\w:\-./]+"
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+EXTRACTORS = ("word", "url", "url_rel", "url_abs", "email", "string", "none")
 
 
 def words(col: Column) -> Column:
     """Array of reference-regex words (O25)."""
     return F.regexp_extract_all(col, F.lit(WORD_RE), F.lit(0))
+
+
+def extract_tokens(col: Column, extractor: str = "word") -> Column:
+    """The reference wordlist subcommand's `-extractor` switch (O25-O28,
+    mainWordlist.go:189-215): token array for one extractor mode.
+
+    ``string`` extracts the content BETWEEN quotes (the reference
+    captures the full quoted match and then trims quote chars; its
+    make-then-append empty-string bug is not reproduced). ``none``
+    splits on newlines."""
+    if extractor == "word":
+        return words(col)
+    if extractor == "url_rel":
+        return F.regexp_extract_all(col, F.lit(URL_REL_RE), F.lit(0))
+    if extractor == "url_abs":
+        return F.regexp_extract_all(col, F.lit(URL_ABS_RE), F.lit(0))
+    if extractor == "url":
+        return F.concat(
+            F.regexp_extract_all(col, F.lit(URL_REL_RE), F.lit(0)),
+            F.regexp_extract_all(col, F.lit(URL_ABS_RE), F.lit(0)),
+        )
+    if extractor == "email":
+        return F.regexp_extract_all(col, F.lit(EMAIL_RE), F.lit(0))
+    if extractor == "string":
+        return F.concat(
+            F.regexp_extract_all(col, F.lit(QUOTED_RE), F.lit(1)),
+            F.regexp_extract_all(col, F.lit(SQUOTED_RE), F.lit(1)),
+        )
+    if extractor == "none":
+        return F.split(col, "\n")
+    raise ValueError(f"unknown extractor {extractor!r}; one of {EXTRACTORS}")
 
 
 def md5i(col: Column) -> Column:
@@ -142,25 +189,46 @@ def simhash16(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.1
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.1,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs blocked by `source`
-    (blocking keeps the join off the full cross product)."""
-    sh = shingle_table(docs, k).join(docs.select("doc_id", "source"), "doc_id")
+    """Exact n-gram Jaccard for candidate pairs.
+
+    ``candidates`` (doc_a, doc_b) is the scale path: pass
+    ``minhash_lsh_pairs(docs)`` and only LSH-colliding pairs pay the
+    shingle-intersection join (see ``near_dup_lsh_exact``). Without it,
+    pairs are blocked on the low-cardinality ``source`` column — fine
+    as a small-scale verifier, but near-quadratic within a block at
+    100 TB; never ship that form at scale."""
+    sh = shingle_table(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if candidates is not None:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            candidates.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    else:
+        shs = sh.join(docs.select("doc_id", "source"), "doc_id")
+        a, b = shs.alias("a"), shs.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.source") == F.col("b.source"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("inter"))
         )
-        .agg(F.count("*").alias("inter"))
-    )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sz", "sz_a")
@@ -177,6 +245,21 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def near_dup_lsh_exact(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """The composed scale path: MinHash-LSH candidate generation →
+    exact n-gram-Jaccard re-rank. Both stages are bucket-joins — the
+    quadratic all-pairs (or per-block) join never happens, so this is
+    the form that survives 100 TB."""
+    cands = minhash_lsh_pairs(docs, n_hashes=n_hashes, band_size=band_size, k=k)
+    return ngram_jaccard_pairs(docs, k=k, threshold=threshold, candidates=cands)
 
 
 # ------------------------------------------------------- text analysis ----

@@ -139,6 +139,74 @@ SELECT DISTINCT word FROM (
 """
 
 
+_SYN_TEXT_SPARK = lambda: F.concat(  # noqa: E731 — shared derivation, see SQL twin
+    F.col("text"),
+    F.lit(" contact "),
+    F.col("source"),
+    F.lit('@müller-example.test see "'),
+    F.col("source"),
+    F.lit(' notes" at http://ex.test/'),
+    F.col("source"),
+    F.lit(" or rel/path/"),
+    F.col("source"),
+    F.lit("-item"),
+)
+
+_SYN_TEXT_SQL = (
+    "text || ' contact ' || source || '@müller-example.test see \"' || source"
+    " || ' notes\" at http://ex.test/' || source || ' or rel/path/' || source || '-item'"
+)
+
+
+def q_wordlist_extractors(spark, sf):
+    """O25-O28: the reference wordlist subcommand's four extractor modes
+    (word / url / email incl. umlauts / quoted-string) over one text,
+    each lower+trim+distinct (mainWordlist.go:18-22,155-224). Emails,
+    quotes and URLs are synthesized onto the document text from its own
+    columns — identically on both engines — so the extraction regexes
+    themselves are the unit under oracle test."""
+    docs = _t(spark, sf, "documents").select(_SYN_TEXT_SPARK().alias("t"))
+    parts = []
+    for ex in ("word", "url", "email", "string"):
+        parts.append(
+            docs.select(F.explode(T.extract_tokens(F.col("t"), ex)).alias("tok"))
+            .select(F.lit(ex).alias("extractor"), F.lower(F.trim("tok")).alias("token"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.filter(F.length("token") > 0).distinct()
+
+
+def _sql_wordlist_extractors() -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    modes = {
+        "word": [(T.WORD_RE, 0)],
+        "url": [(T.URL_REL_RE, 0), (T.URL_ABS_RE, 0)],
+        "email": [(T.EMAIL_RE, 0)],
+        "string": [(T.QUOTED_RE, 1), (T.SQUOTED_RE, 1)],
+    }
+    selects = []
+    for ex, regexes in modes.items():
+        for re_, grp in regexes:
+            selects.append(
+                f"SELECT '{ex}' AS extractor, lower(trim(tok)) AS token FROM "
+                f"(SELECT unnest(regexp_extract_all(t, '{q(re_)}', {grp})) AS tok FROM syn)"
+            )
+    body = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+WITH syn AS (SELECT {_SYN_TEXT_SQL} AS t FROM documents)
+SELECT DISTINCT extractor, token FROM (
+  {body}
+) WHERE length(token) > 0
+"""
+
+
+SQL_WORDLIST_EXTRACTORS = _sql_wordlist_extractors()
+
+
 def q_anti_join_resume(spark, sf):
     """O46/O52/O72: resume anti-join — drop keys already in the
     'history' set (reference mainDNS.go:108-119)."""
@@ -175,6 +243,45 @@ SQL_CROSS_JOIN_TEMPLATES = """
 SELECT replace(template, '<word>', word) AS candidate
 FROM (SELECT 'probe-<word>-' || r_name AS template FROM region)
 CROSS JOIN (SELECT DISTINCT lower(n_name) AS word FROM nation)
+"""
+
+
+def q_filtered_enqueue(spark, sf):
+    """O20/O40: follow/dont-follow substring filters on candidate URLs
+    (reference containsAllText/containsAnyText, mainCrawler.go:175-216):
+    keep iff (contains ALL follow substrings) AND NOT (contains ANY
+    dont-follow substring). URLs synthesized from orders columns so the
+    filter predicate itself is the unit under oracle test."""
+    orders = _t(spark, sf, "orders")
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("o_custkey") % 10).cast("string"),
+        F.lit(".test/p/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?pr="),
+        F.lower("o_orderpriority"),
+    )
+    follow = [".test/p/", "pr="]  # contains-ALL
+    dont = ["urgent", "2-high"]  # contains-ANY
+    keep = None
+    for s in follow:
+        c = F.contains(url, F.lit(s))
+        keep = c if keep is None else (keep & c)
+    drop = None
+    for s in dont:
+        c = F.contains(url, F.lit(s))
+        drop = c if drop is None else (drop | c)
+    return orders.select(url.alias("url")).filter(keep & ~drop)
+
+
+SQL_FILTERED_ENQUEUE = """
+WITH cand AS (
+  SELECT 'http://h' || cast(o_custkey % 10 as varchar) || '.test/p/'
+         || cast(o_orderkey as varchar) || '?pr=' || lower(o_orderpriority) AS url
+  FROM orders)
+SELECT url FROM cand
+WHERE contains(url, '.test/p/') AND contains(url, 'pr=')
+  AND NOT (contains(url, 'urgent') OR contains(url, '2-high'))
 """
 
 
@@ -332,6 +439,41 @@ FROM bands a JOIN bands b
 """
 
 
+def q_near_dup_lsh_exact(spark, sf):
+    """The composed scale path (VERDICT r1 item 6): MinHash-LSH
+    candidates → exact n-gram-Jaccard re-rank. Both stages bucket-join;
+    no per-block quadratic self-join anywhere."""
+    return T.near_dup_lsh_exact(
+        _t(spark, sf, "documents"), n_hashes=8, band_size=2, k=3, threshold=0.05
+    )
+
+
+SQL_NEAR_DUP_LSH_EXACT = f"""
+WITH {_SH_CTE},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05
+"""
+
+
 def q_dedup_simhash(spark, sf):
     return T.simhash16(_t(spark, sf, "documents"))
 
@@ -475,6 +617,43 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 """
+
+
+_EMB_DIM = 64  # testdata embeddings are 64-dim at every sf (TESTDATA.md)
+_ND_PLANES = ANN.deterministic_planes(_EMB_DIM, n_planes=4)
+
+
+def q_cosine_near_dup_lsh(spark, sf):
+    """Composed scale path (VERDICT r1 item 6): hyperplane-LSH bucket
+    as the self-join block key → exact cosine re-rank. The oracle
+    recomputes the bucket with the identical plane literals and an
+    identical left-associated fold, so sign decisions agree bit-for-bit."""
+    return ANN.cosine_near_dup_lsh(
+        _t(spark, sf, "embeddings"), _ND_PLANES, threshold=0.35
+    )
+
+
+def _sql_cosine_near_dup_lsh() -> str:
+    terms = []
+    for i, p in enumerate(_ND_PLANES):
+        # explicit indexed sum == Spark's sequential aggregate() fold —
+        # list_dot_product could reassociate and flip a near-zero sign
+        dot = " + ".join(f"v[{j + 1}] * {x!r}" for j, x in enumerate(p))
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
+    bucket = "\n     + ".join(terms)
+    return f"""
+WITH n AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+       {bucket} AS bucket
+      FROM n)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.35
+"""
+
+
+SQL_COSINE_NEAR_DUP_LSH = _sql_cosine_near_dup_lsh()
 
 
 def q_embedding_norms(spark, sf):
@@ -637,8 +816,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sort_wordlist_topk": q_sort_wordlist_topk,
     "slice_cap": q_slice_cap,
     "union_extractors": q_union_extractors,
+    "wordlist_extractors": q_wordlist_extractors,
     "anti_join_resume": q_anti_join_resume,
     "cross_join_templates": q_cross_join_templates,
+    "filtered_enqueue": q_filtered_enqueue,
     "window_dequeue": q_window_dequeue,
     "status_classify": q_status_classify,
     "pricing_summary": q_pricing_summary,
@@ -647,6 +828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "near_dup_lsh_exact": q_near_dup_lsh_exact,
     "langid": q_langid,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -654,6 +836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_norms": q_embedding_norms,
     "embedding_near_dup": q_embedding_near_dup,
+    "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
     "crawl_e2e": q_crawl_e2e,
     "multimodal_decode": q_multimodal_decode,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -669,8 +852,10 @@ ORACLES: dict[str, str] = {
     "sort_wordlist_topk": SQL_SORT_WORDLIST_TOPK,
     "slice_cap": SQL_SLICE_CAP,
     "union_extractors": SQL_UNION_EXTRACTORS,
+    "wordlist_extractors": SQL_WORDLIST_EXTRACTORS,
     "anti_join_resume": SQL_ANTI_JOIN_RESUME,
     "cross_join_templates": SQL_CROSS_JOIN_TEMPLATES,
+    "filtered_enqueue": SQL_FILTERED_ENQUEUE,
     "window_dequeue": SQL_WINDOW_DEQUEUE,
     "status_classify": SQL_STATUS_CLASSIFY,
     "pricing_summary": SQL_PRICING_SUMMARY,
@@ -679,6 +864,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "near_dup_lsh_exact": SQL_NEAR_DUP_LSH_EXACT,
     "langid": SQL_LANGID,
     "quality_score": SQL_QUALITY_SCORE,
     "token_count": SQL_TOKEN_COUNT,
@@ -686,6 +872,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "cosine_near_dup_lsh": SQL_COSINE_NEAR_DUP_LSH,
     "fuzzer_generate": _sql_fuzzer(),
     # crawl_e2e / multimodal_decode / ann_lsh_topk / dns_sweep /
     # bucket_scan / httpscan_matrix: no SQL equivalent (stateful loop /

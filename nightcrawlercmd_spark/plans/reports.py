@@ -37,18 +37,13 @@ CAP_URLS, CAP_IPS, CAP_WORDS = 100, 100, 2000
 _WORD_RE = re.compile(r"[a-zA-Z][a-z]{3,}")
 _URL_RE = re.compile(r"https?://[^\s\"'<>]+")
 _IP_RE = re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")
-# tags we accept (stand-in for the reference's config/tags.json ruleset)
-_KNOWN_TAGS = frozenset(
-    "html head body title p a img form input div span ul li ol h1 h2 h3 br hr "
-    "table tr td th script style meta link".split()
-)
-_TAG_SCAN_RE = re.compile(r"<\s*([a-zA-Z][a-zA-Z0-9]*)")
 
 FEATURES_SCHEMA = (
     "text string, words array<string>, text_urls array<string>, "
     "text_ips array<string>, query_keys array<string>, "
     "forms array<struct<action: string, method: string, inputs: array<string>>>, "
-    "invalid_tags array<string>, hrefs array<string>"
+    "invalid_tags array<struct<line: int, tag: string, attr: string, reason: string>>, "
+    "hrefs array<string>"
 )
 
 
@@ -59,14 +54,9 @@ def _query_keys(url: str) -> list[str]:
     return sorted({kv.split("=", 1)[0] for kv in q[1].split("&") if kv})
 
 
-def _validate(body_text: str) -> list[str]:
-    """Unknown-tag findings (shape of htmlcheck.ValidateHtmlString, O31)."""
-    return sorted(
-        {t.lower() for t in _TAG_SCAN_RE.findall(body_text) if t.lower() not in _KNOWN_TAGS}
-    )
+def page_features_udf(ruleset_path: str | None = None):
+    from ..functions.htmlcheck import validate_html
 
-
-def page_features_udf():
     def fn(url: pd.Series, body: pd.Series) -> pd.DataFrame:
         rows = []
         for u, b in zip(url, body):
@@ -82,7 +72,7 @@ def page_features_udf():
                     "text_ips": _IP_RE.findall(text)[:CAP_IPS],
                     "query_keys": _query_keys(u),
                     "forms": extract_forms(b),
-                    "invalid_tags": _validate(raw),
+                    "invalid_tags": validate_html(raw, ruleset_path),
                     "hrefs": extract_hrefs(b),
                 }
             )
@@ -91,16 +81,17 @@ def page_features_udf():
     return F.pandas_udf(fn, FEATURES_SCHEMA)
 
 
-def page_reports(pages: DataFrame) -> DataFrame:
+def page_reports(pages: DataFrame, ruleset_path: str | None = None) -> DataFrame:
     """The shared scan: pages (html only, like the reference's MIME
     filter O22) + derived feature columns. Cache this and derive all
-    six reports from it."""
+    six reports from it. ``ruleset_path`` overrides the packaged HTML
+    validation ruleset (reference `-tags config/tags.json` analog)."""
     html_pages = pages.filter(
         (F.col("status_code") == 200)
         & F.col("content_type").startswith("text/html")
     )
     return html_pages.withColumn(
-        "f", page_features_udf()(F.col("canon_url"), F.col("body"))
+        "f", page_features_udf(ruleset_path)(F.col("canon_url"), F.col("body"))
     ).select("canon_url", "status_code", "resp_ms", "location", "error", "f.*")
 
 
@@ -126,8 +117,16 @@ def querykeys(reports: DataFrame) -> DataFrame:
 
 
 def invalidtags(reports: DataFrame) -> DataFrame:
+    """Per-page validation findings with source line numbers
+    (mainReport.go:124-127 shape: reason, tag, attr, line)."""
     return reports.select(
-        "canon_url", F.explode("invalid_tags").alias("invalid_tag")
+        "canon_url", F.explode("invalid_tags").alias("f")
+    ).select(
+        "canon_url",
+        F.col("f.line").alias("line"),
+        F.col("f.tag").alias("tag"),
+        F.col("f.attr").alias("attr"),
+        F.col("f.reason").alias("reason"),
     )
 
 
@@ -190,16 +189,26 @@ def run_report_suite(pages: DataFrame, out_dir: str | None = None) -> dict[str, 
 
 # ---- wordlist-subcommand analog (mainWordlist.go) --------------------------
 
-def wordlist_pipeline(pages: DataFrame) -> DataFrame:
-    """The `wordlist` subcommand: extract words ∪ urls ∪ emails from
-    text, lower+trim, distinct, lexicographic sort
-    (mainWordlist.go:78-103,177-224)."""
+def wordlist_pipeline(
+    pages: DataFrame, extractors: tuple[str, ...] = ("word", "url")
+) -> DataFrame:
+    """The `wordlist` subcommand: run the selected extractors over the
+    page text, lower+trim each token, distinct-union, lexicographic
+    sort (mainWordlist.go:78-103,155-224). The reference's `-extractor`
+    switch selects ONE mode per run; passing several here unions them
+    (each mode is the reference-faithful extraction, O25-O28)."""
+    from ..operators.textops import extract_tokens
+
     reports = page_reports(pages)
-    words = reports.select(F.explode("words").alias("token"))
-    urls = reports.select(F.explode("text_urls").alias("token"))
+    parts = [
+        reports.select(F.explode(extract_tokens(F.col("text"), ex)).alias("token"))
+        for ex in extractors
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
     return (
-        words.union(urls)
-        .select(F.lower(F.trim("token")).alias("token"))
+        out.select(F.lower(F.trim("token")).alias("token"))
         .filter(F.length("token") > 0)
         .distinct()
         .orderBy("token")

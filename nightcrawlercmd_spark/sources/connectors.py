@@ -98,14 +98,25 @@ def simulate_port_scan(
 # -------------------------------------------------------- bucket scan -----
 
 def bucket_scan(
-    spark: SparkSession, words: DataFrame, providers: DataFrame
+    spark: SparkSession,
+    words: DataFrame,
+    providers: DataFrame,
+    provider_filter: str | None = None,
 ) -> DataFrame:
     """words × providers cross join → probe → status classification
     (O54 cross join, O34 {w} substitution, O45 classifier).
 
     providers: DataFrame(name string, url_template string /*…{w}…*/,
     not_found_code int, denied_code int) — broadcast dimension.
+    ``provider_filter`` keeps only providers whose url_template contains
+    the substring, applied BEFORE the cross join (O47; reference
+    `-filter`, mainBucketScan.go:100-103 skips non-matching URL
+    suffixes before the word loop).
     """
+    if provider_filter:
+        providers = providers.filter(
+            F.contains(F.col("url_template"), F.lit(provider_filter))
+        )
     probes = words.select(F.trim("word").alias("word")).filter(
         F.length("word") > 0
     ).crossJoin(F.broadcast(providers)).select(

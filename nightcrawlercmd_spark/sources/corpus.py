@@ -49,6 +49,14 @@ class WorldConfig:
     img_lo: int = 16  # image payload dimension range (px)
     img_hi: int = 64
     out_of_scope_hosts: int = 2  # extra hosts that appear in links but not seeds
+    # link-mix thresholds (cumulative probabilities): same-host page,
+    # cross-host in-scope, out-of-scope host, robots-disallowed, junk.
+    # Defaults keep every existing world byte-identical; a host-local
+    # world (p_same == p_cross) isolates O(delta) pending maintenance.
+    p_same: float = 0.76
+    p_cross: float = 0.88
+    p_offsite: float = 0.92
+    p_robots: float = 0.96
     tag: str = "w1"  # world salt — change to get a different universe
 
 
@@ -141,7 +149,7 @@ def image_id_of(cfg: WorldConfig, canon_url: str) -> str:
 def _href(cfg: WorldConfig, canon_url: str, host: str, i: int) -> str:
     """One outgoing link of a page — dirty on purpose."""
     r = hfloat(cfg.tag, canon_url, "lt", i)
-    if r < 0.76:  # same-host page, dirty textual variant
+    if r < cfg.p_same:  # same-host page, dirty textual variant
         j = hint(0, n_pages(cfg, host) - 1, cfg.tag, canon_url, "tgt", i)
         v = h64(cfg.tag, canon_url, "var", i) % 5
         if v == 0:
@@ -153,14 +161,14 @@ def _href(cfg: WorldConfig, canon_url: str, host: str, i: int) -> str:
         if v == 3:
             return f"/x/../p/{j}"
         return page_url(host, j)
-    if r < 0.88:  # cross-host (in scope)
+    if r < cfg.p_cross:  # cross-host (in scope)
         tgt = hchoice(hosts(cfg), cfg.tag, canon_url, "xh", i)
         j = hint(0, n_pages(cfg, tgt) - 1, cfg.tag, canon_url, "xj", i)
         return page_url(tgt, j)
-    if r < 0.92:  # out-of-scope host (scope filter food)
+    if r < cfg.p_offsite:  # out-of-scope host (scope filter food)
         tgt = hchoice(out_of_scope(cfg), cfg.tag, canon_url, "oh", i)
         return f"http://{tgt}/p/0"
-    if r < 0.96:  # robots-disallowed path
+    if r < cfg.p_robots:  # robots-disallowed path
         return f"/private/{hint(0, 20, cfg.tag, canon_url, 'pv', i)}"
     junk = ["", "#", "mailto:x@y.z", "javascript:void(0)"]
     return junk[h64(cfg.tag, canon_url, "junk", i) % len(junk)]

@@ -91,3 +91,38 @@ class StateStore:
 
     def exists(self, name: str, round_no: int) -> bool:
         return os.path.isdir(self._dir(name, round_no))
+
+    # ---- bucketed tables (Iceberg partition-overwrite analog) -----------
+
+    def write_bucketed(
+        self, df: DataFrame, name: str, round_no: int, bucket_col: str = "pbucket"
+    ) -> list[int]:
+        """Write a bucket-partitioned snapshot containing ONLY the
+        buckets present in ``df`` (Iceberg dynamic partition overwrite
+        analog). Returns the bucket ids actually written — an empty
+        bucket produces no dir, so callers drop it from their manifest."""
+        d = self._dir(name, round_no)
+        df.write.mode("overwrite").partitionBy(bucket_col).parquet(d)
+        pref = bucket_col + "="
+        return sorted(
+            int(p[len(pref):]) for p in os.listdir(d) if p.startswith(pref)
+        )
+
+    def read_buckets(
+        self,
+        spark: SparkSession,
+        name: str,
+        manifest: dict[int, int],
+        bucket_col: str = "pbucket",
+    ) -> DataFrame | None:
+        """Read the union of per-bucket leaf dirs named by ``manifest``
+        (bucket → round of its latest version). Each bucket is read from
+        exactly one round — this is what makes per-round maintenance
+        O(touched buckets) instead of O(frontier)."""
+        dirs = [
+            os.path.join(self._dir(name, r), f"{bucket_col}={b}")
+            for b, r in sorted(manifest.items())
+        ]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)

@@ -17,13 +17,21 @@ O(1) in rounds) and as the exact-resume checkpoint (O77): the loop can
 be killed after any round and restarted — it continues from the last
 commit marker and the final state is identical to an uninterrupted run.
 
-Scale design (10^10 frontier): pending snapshots are partitioned by
-(host_hash, salt); the seen set is append-only with partitioned bloom
-filters as pre-probe so each round's anti-join shuffle only carries
-bloom-positive candidates; hot hosts are defused by the salt in the
-fetch repartition + the per-host dequeue budget; AQE handles residual
-skew. With Iceberg jars, pending/seen become MERGE-maintained tables
-(sources/tableio.py is the seam).
+Scale design (10^10 frontier): pending is merge-on-read (Iceberg
+equality-delete / LSM analog) — pending(r) assembles from the last
+compacted ``pbucket = host_hash mod B`` base ∪ the seen deltas since ∖
+the fetched log since, all tables the rounds already write, so the
+per-round pending write is zero rows at any frontier size; a scheduled
+compaction (``pending_compact_every``) rewrites the assembled base to
+bound read amplification, with a bucket→round manifest + compaction
+round in the commit marker. The seen set is append-only
+with partitioned bloom filters as pre-probe so each round's anti-join
+shuffle only carries bloom-positive candidates; beyond broadcast size
+the filters live in a co-partitioned ``seen_filters`` table (no driver
+state). Hot hosts are defused by the salt in the fetch repartition +
+the per-host dequeue budget; AQE handles residual skew. With Iceberg
+jars, pending/seen become MERGE-maintained tables (sources/tableio.py
+is the seam).
 """
 
 from __future__ import annotations
@@ -33,7 +41,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.bloomseen import BloomConfig, PartitionedBloom, bloom_partition_df, build_filter_deltas
+from ..operators.bloomseen import (
+    BloomConfig,
+    PartitionedBloom,
+    bloom_partition_df,
+    bloom_payload,
+    bloom_probe_cogroup,
+    build_filter_delta_df,
+    build_filter_deltas,
+    or_merge_filters_df,
+)
 from ..operators.dequeue import dequeue
 from ..operators.fetch import fetch_stage
 from ..operators.links import (
@@ -65,6 +82,18 @@ PENDING_COLS = [
     "parent_url_hash",
 ]
 
+_PENDING_SCHEMA = [
+    ("canon_url", "string"),
+    ("url_hash", "bigint"),
+    ("host", "string"),
+    ("host_hash", "bigint"),
+    ("salt", "int"),
+    ("priority", "double"),
+    ("depth", "int"),
+    ("discovered_round", "int"),
+    ("parent_url_hash", "bigint"),
+]
+
 
 @dataclass
 class EngineConfig:
@@ -75,14 +104,40 @@ class EngineConfig:
     default_budget: int = 4
     max_rounds: int = 64
     max_pages: int | None = None
+    # per-round global fetch capacity (cluster capacity per micro-batch):
+    # dequeue the global top-priority slice up to this size. This is the
+    # regime where bucketed pending maintenance is O(delta) — hosts
+    # outside the round's slice never touch their bucket.
+    round_capacity: int | None = None
     n_salts: int = 8
     fetch_tasks: int = 32
     use_bloom: bool = True
     decode_images: bool = False  # fetch+decode image payloads per page
     no_new_links: bool = False  # O78: enqueue only redirect Locations
+    # O20/O40: substring filters on raw hrefs (reference -follow /
+    # -dont-follow, mainCrawler.go:175-216; see functions/linkfilter.py)
+    follow: list[str] | None = None
+    dont_follow: list[str] | None = None
+    strict_reference_filters: bool = False
     compact_seen_every: int = 8  # consolidate seen deltas every K rounds
     expected_urls: int = 1 << 17
     bloom: BloomConfig = field(default_factory=BloomConfig)
+    # None → auto: co-partitioned seen_filters table probe when the total
+    # filter bytes exceed the broadcast budget (the 10^10-URL path);
+    # True/False force table/broadcast mode (tests force both).
+    bloom_table_probe: bool | None = None
+    bloom_broadcast_max_bytes: int = 128 << 20
+    bloom_rebuild_subsplits: int = 8  # bounds per-task keys on full rebuilds
+    # pending is merge-on-read (Iceberg equality-delete / LSM analog):
+    # per round NOTHING extra is written — pending(r) assembles from the
+    # last compacted bucket base ∪ the seen deltas since ∖ the fetched
+    # log since (both already materialized by the round itself). Every
+    # `pending_compact_every` rounds the assembled table is rewritten
+    # into `pbucket = host_hash mod pending_buckets` partitions, keeping
+    # read amplification bounded. Write cost per round is O(delta) by
+    # construction, independent of how activity spreads over hosts.
+    pending_buckets: int = 16
+    pending_compact_every: int = 8
 
 
 def seed_udf():
@@ -124,6 +179,9 @@ class CrawlEngine:
         self.store = StateStore(cfg.state_dir)
         self.robots = robots_df(spark, cfg).cache()
         self._bloom: PartitionedBloom | None = None
+        self._bloom_bc = None  # current broadcast generation (broadcast mode)
+        self._bloom_bc_stale = True
+        self._bc_generations = 0  # observability: broadcasts created so far
 
     # ------------------------------------------------------------ init ----
 
@@ -137,14 +195,11 @@ class CrawlEngine:
             .select("s.canon_url", "s.priority")
             .filter(F.col("canon_url").isNotNull())
             .withColumn("host", host_of_col(F.col("canon_url")))
-            .persist()  # one Python pass feeds scope-collect AND the write
+            .persist()  # one Python pass feeds both derived writes
         )
-        if cfg.scope_seed_hosts:
-            scope = sorted(
-                r["host"] for r in seeds.select("host").distinct().collect()
-            )
-        else:
-            scope = None
+        # scope hosts are NOT collected to the driver: the filter is a
+        # semi-join against the seed-host set derived from the round-0
+        # seen table at run time (a 10^8-host seed list stays distributed)
         # robots applies to seeds too (north_rule: robots compliance)
         seeds = robots_allowed_filter(
             seeds.withColumn("path", path_of_col(F.col("canon_url"))), self.robots
@@ -159,22 +214,85 @@ class CrawlEngine:
             .withColumn("parent_url_hash", F.lit(None).cast("bigint"))
         )
         pend = _with_salt_cols(pend, cfg.n_salts).select(*PENDING_COLS)
-        self.store.write_snapshot(pend.repartition(cfg.fetch_tasks, "host_hash", "salt"), "pending", 0)
+        written = self.store.write_bucketed(
+            self._with_pbucket(pend).repartition(cfg.fetch_tasks, "pbucket", "salt"),
+            "pending_b",
+            0,
+        )
+        manifest = {b: 0 for b in written}
         seeds.unpersist()
         # seen delta shares the pending shape (+first_round) across all rounds
-        seen0 = self.store.read_snapshot(self.spark, "pending", 0).withColumn(
-            "first_round", F.lit(0)
-        )
+        seen0 = self._read_pending_manifest(manifest).withColumn("first_round", F.lit(0))
         self.store.append(seen0, "seen", 0)
-        n = self.store.read_snapshot(self.spark, "pending", 0).count()
+        m_bits = PartitionedBloom.size_for(self.cfg.expected_urls, self.cfg.bloom)
+        if cfg.use_bloom and self._table_probe():
+            self.store.append(
+                build_filter_delta_df(seen0, cfg.bloom, m_bits), "seen_filters", 0
+            )
+        n = self._read_pending_manifest(manifest).count()
         self.store.commit(
             0,
             {
                 "fetched_total": 0,
                 "pending": n,
-                "scope_hosts": scope,
-                "bloom_m_bits": PartitionedBloom.size_for(self.cfg.expected_urls, self.cfg.bloom),
+                "pending_manifest": manifest,
+                "pending_compact_round": 0,
+                "scope_seed_hosts": cfg.scope_seed_hosts,
+                "bloom_m_bits": m_bits,
             },
+        )
+
+    # --------------------------------------------------------- pending ----
+
+    def _with_pbucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "pbucket",
+            F.pmod(F.col("host_hash"), F.lit(self.cfg.pending_buckets)).cast("int"),
+        )
+
+    def _manifest(self, round_no: int) -> dict[int, int]:
+        return {
+            int(k): v for k, v in self.store.meta(round_no)["pending_manifest"].items()
+        }
+
+    def _read_pending_manifest(self, manifest: dict[int, int]) -> DataFrame:
+        df = self.store.read_buckets(self.spark, "pending_b", manifest)
+        if df is None:
+            return self.spark.createDataFrame(
+                [], schema=", ".join(f"{c} {t}" for c, t in _PENDING_SCHEMA)
+            )
+        return df.select(*PENDING_COLS)
+
+    def _assemble_pending(
+        self, manifest: dict[int, int], compact_round: int, upto_round: int
+    ) -> DataFrame:
+        """Merge-on-read pending: compacted base ∪ seen deltas in
+        (compact_round, upto_round] ∖ fetched log in the same window.
+        Uses only tables the rounds already wrote — zero extra write
+        per round (Iceberg equality-delete analog; VERDICT r1 item 3)."""
+        df = self._read_pending_manifest(manifest)
+        removals = []
+        for j in range(compact_round + 1, upto_round + 1):
+            if self.store.exists("seen", j):
+                df = df.unionByName(
+                    self.store.read_snapshot(self.spark, "seen", j).select(*PENDING_COLS)
+                )
+            if self.store.exists("pages", j):
+                removals.append(
+                    self.store.read_snapshot(self.spark, "pages", j).select("url_hash")
+                )
+        if removals:
+            rem = removals[0]
+            for p in removals[1:]:
+                rem = rem.unionByName(p)
+            df = df.join(rem, "url_hash", "left_anti")
+        return df
+
+    def _read_pending(self, round_no: int) -> DataFrame:
+        meta = self.store.meta(round_no)
+        manifest = {int(k): v for k, v in meta["pending_manifest"].items()}
+        return self._assemble_pending(
+            manifest, meta.get("pending_compact_round", round_no), round_no
         )
 
     # ------------------------------------------------------------ seen ----
@@ -216,24 +334,108 @@ class CrawlEngine:
         )
         return r
 
+    def _maybe_compact_filters(self, r: int) -> int | None:
+        """Filter-table analog of seen compaction: OR-merge all delta
+        blobs per pid into one base row (table-probe mode only)."""
+        cfg = self.cfg
+        if not cfg.use_bloom or not self._table_probe():
+            return None
+        if not cfg.compact_seen_every or r % cfg.compact_seen_every != 0:
+            return None
+        merged = or_merge_filters_df(self._read_filters_with_round(r))
+        self.store.write_snapshot(merged, "seen_filters_base", r)
+        return r
+
+    def _read_filters_with_round(self, r: int) -> DataFrame:
+        """_read_filters(r-1) plus round r's just-written (uncommitted)
+        delta, mirroring _maybe_compact_seen's union."""
+        df = self._read_filters(r - 1)
+        if self.store.exists("seen_filters", r):
+            df = df.unionByName(self.store.read_snapshot(self.spark, "seen_filters", r))
+        return df
+
     # ----------------------------------------------------------- bloom ----
+
+    def _m_bits(self) -> int:
+        try:
+            return self.store.meta(0)["bloom_m_bits"]
+        except FileNotFoundError:
+            return PartitionedBloom.size_for(self.cfg.expected_urls, self.cfg.bloom)
+
+    def _table_probe(self) -> bool:
+        """Probe-path choice: forced by config, else by total filter
+        bytes vs the broadcast budget (static per crawl — m_bits is
+        fixed at init from expected_urls)."""
+        if self.cfg.bloom_table_probe is not None:
+            return self.cfg.bloom_table_probe
+        total = self.cfg.bloom.partitions * self._m_bits() // 8
+        return total > self.cfg.bloom_broadcast_max_bytes
 
     def _ensure_bloom(self, upto_round: int) -> PartitionedBloom:
         """Rebuild filters from the exact seen table (filters are a
         cache; the table is the truth — SURVEY.md §7.3.4)."""
         if self._bloom is not None:
             return self._bloom
-        m_bits = self.store.meta(0)["bloom_m_bits"]
+        m_bits = self._m_bits()
         bloom = PartitionedBloom(self.cfg.bloom, m_bits)
         seen = self._read_seen(upto_round)
         if seen is not None:
-            bloom.add_filter_rows(build_filter_deltas(seen, self.cfg.bloom, m_bits))
+            bloom.add_filter_rows(
+                build_filter_deltas(
+                    seen, self.cfg.bloom, m_bits,
+                    subsplits=self.cfg.bloom_rebuild_subsplits,
+                )
+            )
         self._bloom = bloom
+        self._bloom_bc_stale = True
         return bloom
+
+    def _bloom_broadcast(self):
+        """One live broadcast generation at a time: destroy the previous
+        one before re-broadcasting the updated filters (a long crawl
+        must not accumulate a stale copy per round; ADVICE r1)."""
+        if self._bloom_bc is not None and not self._bloom_bc_stale:
+            return self._bloom_bc
+        if self._bloom_bc is not None:
+            self._bloom_bc.unpersist(blocking=False)
+            self._bloom_bc.destroy(blocking=False)
+        self._bloom_bc = self.spark.sparkContext.broadcast(bloom_payload(self._bloom))
+        self._bloom_bc_stale = False
+        self._bc_generations += 1
+        return self._bloom_bc
+
+    def _read_filters(self, upto_round: int) -> DataFrame:
+        """seen_filters = latest compacted base + deltas after it; if the
+        store predates table mode, bootstrap from the exact seen table
+        (filters are a cache, the table is the truth)."""
+        base_round = -1
+        for r in reversed(self.store.committed_rounds()):
+            if r > upto_round:
+                continue
+            if self.store.meta(r).get("filters_base_round") is not None:
+                base_round = self.store.meta(r)["filters_base_round"]
+                break
+        parts = []
+        if base_round >= 0 and self.store.exists("seen_filters_base", base_round):
+            parts.append(self.store.read_snapshot(self.spark, "seen_filters_base", base_round))
+        for r in self.store.committed_rounds():
+            if base_round < r <= upto_round and self.store.exists("seen_filters", r):
+                parts.append(self.store.read_snapshot(self.spark, "seen_filters", r))
+        if not parts:  # bootstrap: state written before table mode existed
+            delta = build_filter_delta_df(
+                self._read_seen(upto_round), self.cfg.bloom, self._m_bits(),
+                subsplits=self.cfg.bloom_rebuild_subsplits,
+            )
+            self.store.append(delta, "seen_filters", upto_round)
+            parts = [self.store.read_snapshot(self.spark, "seen_filters", upto_round)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     # ------------------------------------------------------------ round ---
 
-    def _run_round(self, r: int, scope_hosts: list[str] | None, fetched_total: int) -> dict:
+    def _run_round(self, r: int, scope_hosts: DataFrame | None, fetched_total: int) -> dict:
         import os
         import time as _time
 
@@ -247,14 +449,32 @@ class CrawlEngine:
                 _t[0] = now
 
         cfg, store, spark = self.cfg, self.store, self.spark
-        pending = store.read_snapshot(spark, "pending", r - 1)
+        prev_meta = store.meta(r - 1)
+        prev_manifest = {int(k): v for k, v in prev_meta["pending_manifest"].items()}
+        prev_compact = prev_meta.get("pending_compact_round", r - 1)
+        prev_pending_n = prev_meta["pending"]
+        pending = self._assemble_pending(prev_manifest, prev_compact, r - 1)
         remaining = None
         if cfg.max_pages is not None:
             remaining = cfg.max_pages - fetched_total
             if remaining <= 0:
                 return {"fetched": 0, "stop": True}
+        if cfg.round_capacity is not None:
+            remaining = (
+                cfg.round_capacity
+                if remaining is None
+                else min(remaining, cfg.round_capacity)
+            )
         deq = dequeue(pending, self.robots, cfg.default_budget, max_take=remaining)
-        pages = fetch_stage(deq, cfg.world, cfg.fetch_tasks, decode_images=cfg.decode_images)
+        pages = fetch_stage(
+            deq,
+            cfg.world,
+            cfg.fetch_tasks,
+            decode_images=cfg.decode_images,
+            follow=cfg.follow,
+            dont_follow=cfg.dont_follow,
+            strict_filters=cfg.strict_reference_filters,
+        )
         # free per-round metrics: observed during the write action itself
         from pyspark.sql import Observation
 
@@ -275,8 +495,11 @@ class CrawlEngine:
         n_fetched = pages.count()
         tick("count_pages")
         if n_fetched == 0:
-            store.write_snapshot(pending, "pending", r)
-            store.commit(r, {"fetched_total": fetched_total, "pending": pending.count(),
+            # nothing dequeued → pending unchanged; carry the manifest
+            # forward instead of rewriting any bucket
+            store.commit(r, {"fetched_total": fetched_total, "pending": prev_pending_n,
+                             "pending_manifest": prev_manifest,
+                             "pending_compact_round": prev_compact,
                              "fetched_round": 0})
             return {"fetched": 0, "stop": True}
         store.append(
@@ -296,11 +519,16 @@ class CrawlEngine:
         cands = enqueue_rows(link_src, self.robots, scope_hosts, r)
         seen = self._read_seen(r - 1)
         if cfg.use_bloom:
-            bloom = self._ensure_bloom(r - 1)
             # persist: the bloom split consumes `tagged` twice (fresh +
             # suspects) — without the cache the extract/dedupe pipeline
             # runs twice per round
-            tagged = bloom_partition_df(cands, bloom).persist()
+            if self._table_probe():
+                tagged = bloom_probe_cogroup(
+                    cands, self._read_filters(r - 1), cfg.bloom, self._m_bits()
+                ).persist()
+            else:
+                self._ensure_bloom(r - 1)
+                tagged = bloom_partition_df(cands, bc=self._bloom_broadcast()).persist()
             fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             suspects = (
                 tagged.filter(F.col("maybe_seen"))
@@ -323,42 +551,77 @@ class CrawlEngine:
         if tagged is not None:
             tagged.unpersist()
         tick("enqueue+dedupe+write_seen")
-        new_pending = store.read_snapshot(spark, "seen", r).select(*PENDING_COLS)
-        # dequeued rows == this round's pages (already materialized) —
-        # reuse them for the pending subtraction instead of re-running
-        # the dequeue window.
-        next_pending = pending.join(
-            pages.select("url_hash"), "url_hash", "left_anti"
-        ).select(*PENDING_COLS).unionByName(new_pending)
-        store.write_snapshot(
-            next_pending.repartition(cfg.fetch_tasks, "host_hash", "salt"), "pending", r
-        )
-        tick("write_pending")
-        n_pending = store.read_snapshot(spark, "pending", r).count()
-        tick("count_pending")
-        # extend bloom with this round's discoveries
-        if cfg.use_bloom and self._bloom is not None:
-            delta = store.read_snapshot(spark, "seen", r)
-            self._bloom.add_filter_rows(
-                build_filter_deltas(delta, cfg.bloom, self._bloom.m_bits)
+        # merge-on-read pending: the round's seen delta and pages log ARE
+        # the pending add/remove deltas — nothing extra is written here.
+        # Every pending_compact_every rounds the assembled table is
+        # rewritten bucket-partitioned to bound read amplification.
+        n_new = store.read_snapshot(spark, "seen", r).select("url_hash").count()
+        pending_rewritten = 0
+        manifest, compact = prev_manifest, prev_compact
+        if cfg.pending_compact_every and r % cfg.pending_compact_every == 0:
+            assembled = self._with_pbucket(
+                self._assemble_pending(prev_manifest, prev_compact, r)
             )
+            pobs = Observation(f"pend_{r}")
+            assembled = assembled.observe(pobs, F.count(F.lit(1)).alias("rows"))
+            written = store.write_bucketed(
+                assembled.repartition(cfg.fetch_tasks, "pbucket", "salt"),
+                "pending_b",
+                r,
+            )
+            pending_rewritten = int(pobs.get.get("rows") or 0)
+            manifest, compact = {b: r for b in written}, r
+        tick("write_pending")
+        # dequeued rows == pages (1:1) and the adds are exactly the seen
+        # delta, so the count is arithmetic — no frontier scan
+        n_pending = prev_pending_n - n_fetched + n_new
+        tick("count_pending")
+        # extend the filters with this round's discoveries
+        if cfg.use_bloom:
+            delta = store.read_snapshot(spark, "seen", r)
+            if self._table_probe():
+                store.append(
+                    build_filter_delta_df(delta, cfg.bloom, self._m_bits()),
+                    "seen_filters",
+                    r,
+                )
+            elif self._bloom is not None:
+                self._bloom.add_filter_rows(
+                    build_filter_deltas(delta, cfg.bloom, self._bloom.m_bits)
+                )
+                self._bloom_bc_stale = True
             tick("bloom_delta_build")
         base = self._maybe_compact_seen(r)
         if base is None:
             # carry the latest base forward so resume finds it
-            prev = self.store.meta(r - 1).get("seen_base_round")
-            base = prev
+            base = self.store.meta(r - 1).get("seen_base_round")
+        fbase = self._maybe_compact_filters(r)
+        if fbase is None:
+            fbase = self.store.meta(r - 1).get("filters_base_round")
         store.commit(
             r,
             {
                 "fetched_total": fetched_total + n_fetched,
                 "pending": n_pending,
+                "pending_manifest": manifest,
+                "pending_compact_round": compact,
                 "fetched_round": n_fetched,
                 "metrics": metrics,
                 "seen_base_round": base,
+                "filters_base_round": fbase,
+                # O(delta) evidence: pending rows rewritten this round
+                # (0 except compaction rounds) — the bench's
+                # frontier-growth check reads this
+                "pending_rewritten": pending_rewritten,
             },
         )
-        return {"fetched": n_fetched, "pending": n_pending, "stop": n_pending == 0}
+        return {
+            "fetched": n_fetched,
+            "pending": n_pending,
+            "pending_rewritten": pending_rewritten,
+            "pending_before": prev_pending_n,
+            "stop": n_pending == 0,
+        }
 
     # ------------------------------------------------------------- run ----
 
@@ -369,7 +632,16 @@ class CrawlEngine:
         if store.last_round() is None:
             self._init_round0()
         last = store.last_round()
-        scope_hosts = store.meta(0)["scope_hosts"]
+        scope_hosts = None
+        if store.meta(0).get("scope_seed_hosts", cfg.scope_seed_hosts):
+            # seed hosts = round-0 seen table (exact under resume too);
+            # cached: it is re-joined every round
+            scope_hosts = (
+                store.read_snapshot(self.spark, "seen", 0)
+                .select("host")
+                .distinct()
+                .cache()
+            )
         stats: dict = {"rounds": last, "round_times": []}
         for r in range(last + 1, cfg.max_rounds + 1):
             fetched_total = store.meta(r - 1)["fetched_total"]
@@ -381,12 +653,16 @@ class CrawlEngine:
             out = self._run_round(r, scope_hosts, fetched_total)
             stats["round_times"].append(
                 {"round": r, "seconds": round(_time.time() - t0, 2),
-                 "fetched": out.get("fetched", 0)}
+                 "fetched": out.get("fetched", 0),
+                 "pending_before": out.get("pending_before"),
+                 "pending_rewritten": out.get("pending_rewritten")}
             )
             stats["rounds"] = r
             if out.get("stop"):
                 break
         stats["fetched_total"] = store.meta(store.last_round())["fetched_total"]
+        if scope_hosts is not None:
+            scope_hosts.unpersist()
         return stats
 
     # ------------------------------------------------------- accessors ----

@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..functions.html import extract_hrefs
+from ..functions.linkfilter import filter_hrefs
 from ..functions.urlnorm import canonicalize, host_of, resolve
 from ..sources.corpus import (
     WorldConfig,
@@ -52,6 +53,10 @@ def simulate(
     max_rounds: int = 64,
     max_pages: int | None = None,
     no_new_links: bool = False,
+    round_capacity: int | None = None,
+    follow: list[str] | None = None,
+    dont_follow: list[str] | None = None,
+    strict_reference_filters: bool = False,
 ) -> SimResult:
     robots = {r["host"]: r["disallow_prefixes"] for r in robots_rows(world)}
     budgets = {h: crawl_budget(world, h) for h in robots}
@@ -91,6 +96,8 @@ def simulate(
         dequeued.sort(key=lambda t: (-t[1], t[0]))
         if max_pages is not None:
             dequeued = dequeued[: max_pages - res.fetched]
+        if round_capacity is not None:
+            dequeued = dequeued[:round_capacity]
         if not dequeued:
             break
         # --- fetch + log + collect candidate links over the whole round ---
@@ -101,7 +108,12 @@ def simulate(
             res.fetched += 1
             res.log.append((r, seq, canon, page["status_code"]))
             if page["status_code"] == 200 and not no_new_links:
-                hrefs = extract_hrefs(page["body"])
+                hrefs = filter_hrefs(
+                    extract_hrefs(page["body"]),
+                    follow,
+                    dont_follow,
+                    strict_reference_filters,
+                )
             elif 300 <= page["status_code"] <= 307 and page["location"]:
                 hrefs = [page["location"]]
             else:

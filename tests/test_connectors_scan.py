@@ -65,6 +65,12 @@ def test_bucket_scan_classification(spark):
     )
     rows = bucket_scan(spark, words, providers).collect()
     assert len(rows) == 6  # 3 words × 2 providers (O54 cross join)
+    # O47: provider suffix filter applied BEFORE the cross join
+    # (reference -filter, mainBucketScan.go:100-103)
+    filt = bucket_scan(spark, words, providers, provider_filter="p1.test").collect()
+    assert len(filt) == 3 and all(r["name"] == "p1" for r in filt)
+    none = bucket_scan(spark, words, providers, provider_filter="nomatch").collect()
+    assert none == []
     for r in rows:
         assert "{w}" not in r["url"] and r["word"] in r["url"]  # O34 substitution
         want = {404: "not found", 403: "access denied", 400: "not found", 401: "access denied"}.get(

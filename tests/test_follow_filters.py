@@ -1,0 +1,72 @@
+"""Follow / don't-follow filters (O20/O40): pure-function semantics
+match the reference's containsAllText/containsAnyText combination, and
+a filtered crawl matches the sequential oracle exactly."""
+
+from nightcrawlercmd_spark.functions.linkfilter import filter_hrefs, href_passes
+from nightcrawlercmd_spark.sources.corpus import WorldConfig
+from nightcrawlercmd_spark.streaming.engine import CrawlEngine, EngineConfig
+from nightcrawlercmd_spark.streaming.simulator import simulate
+
+WORLD = WorldConfig(n_hosts=5, base_pages=10, hot_factor=3, tag="t-ff")
+
+
+def test_href_passes_semantics():
+    # follow = contains ALL (reference containsAllText)
+    assert href_passes("/p/12?x=1", ["/p/", "x="], None)
+    assert not href_passes("/p/12", ["/p/", "x="], None)
+    # dont_follow = contains ANY (reference containsAnyText)
+    assert not href_passes("/p/12?logout", ["/p/"], ["logout", "delete"])
+    assert href_passes("/p/12", ["/p/"], ["logout", "delete"])
+    # no filters → no filtering (reference nil-copy quirk NOT reproduced)
+    assert href_passes("anything", None, None)
+    assert filter_hrefs(["a", "b"], None, None) == ["a", "b"]
+    # dont-follow-only: sane default = blacklist…
+    assert href_passes("/p/12", None, ["logout"])
+    assert not href_passes("/p/12?logout", None, ["logout"])
+    # …strict mode reproduces the reference literally (matchFollow is
+    # false without a follow list → every link dropped)
+    assert not href_passes("/p/12", None, ["logout"], strict=True)
+
+
+def _parity(spark, tmp_path_factory, name, **filters):
+    cfg = EngineConfig(
+        state_dir=str(tmp_path_factory.mktemp(name)),
+        world=WORLD,
+        max_rounds=6,
+        max_pages=90,
+        fetch_tasks=8,
+        expected_urls=1 << 13,
+        **filters,
+    )
+    eng = CrawlEngine(spark, cfg)
+    eng.run()
+    sim = simulate(
+        WORLD,
+        max_rounds=6,
+        max_pages=90,
+        follow=filters.get("follow"),
+        dont_follow=filters.get("dont_follow"),
+    )
+    got = [
+        (r["round"], r["seq"], r["canon_url"], r["status_code"])
+        for r in eng.crawl_log().collect()
+    ]
+    assert got == sim.log
+    got_seen = {
+        r["canon_url"]: (r["first_round"], r["depth"]) for r in eng.seen().collect()
+    }
+    assert got_seen == sim.seen
+    return sim
+
+
+def test_follow_filter_crawl_parity(spark, tmp_path_factory):
+    sim_f = _parity(spark, tmp_path_factory, "ff_follow", follow=["/p/"])
+    # and the filter actually bit: an unfiltered crawl sees more URLs
+    sim_all = simulate(WORLD, max_rounds=6, max_pages=90)
+    assert len(sim_f.seen) <= len(sim_all.seen)
+
+
+def test_dont_follow_filter_crawl_parity(spark, tmp_path_factory):
+    sim_d = _parity(spark, tmp_path_factory, "ff_dont", dont_follow=["/p/1"])
+    sim_all = simulate(WORLD, max_rounds=6, max_pages=90)
+    assert len(sim_d.seen) < len(sim_all.seen), "dont_follow never bit"

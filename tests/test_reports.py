@@ -98,3 +98,70 @@ def test_csv_sinks_written(suite):
 def test_wordlist_pipeline_sorted_distinct(pages):
     toks = [r["token"] for r in wordlist_pipeline(pages).collect()]
     assert toks == sorted(set(toks)) and toks
+
+
+def test_validate_html_golden():
+    """O31: configurable ruleset validation with per-finding line
+    numbers (reference htmlcheck + UpdateErrorLines shape)."""
+    from nightcrawlercmd_spark.functions.htmlcheck import validate_html
+
+    page = (
+        "<html>\n"
+        "<body>\n"
+        '<marquee scroll="1">old</marquee>\n'
+        '<a href="/x" blink="y">ok tag, bad attr</a>\n'
+        '<img src="/i.png" alt="fine" data-test="allowed" aria-label="allowed">\n'
+        "</body></html>"
+    )
+    got = validate_html(page)
+    assert {
+        "line": 3, "tag": "marquee", "attr": "", "reason": "unknown-tag"
+    } in got
+    assert {
+        "line": 4, "tag": "a", "attr": "blink", "reason": "unknown-attr"
+    } in got
+    # data-* / aria-* / allowed attrs produce no findings
+    assert all(f["tag"] != "img" for f in got)
+    assert len(got) == 2
+
+
+def test_validate_html_custom_ruleset(tmp_path):
+    """The ruleset is a config file, not code (reference -tags flag)."""
+    import json
+
+    from nightcrawlercmd_spark.functions.htmlcheck import validate_html
+
+    path = tmp_path / "rules.json"
+    path.write_text(json.dumps({
+        "global_attributes": [],
+        "tags": {"html": [], "body": [], "marquee": ["scroll"]},
+    }))
+    page = '<html><body><marquee scroll="1">ok now</marquee>\n<p>bad now</p>'
+    got = validate_html(page, str(path))
+    assert got == [{"line": 2, "tag": "p", "attr": "", "reason": "unknown-tag"}]
+
+
+def test_extract_tokens_modes(spark):
+    """O28: email (umlaut-aware), quoted-string, and URL extractors
+    match the reference regex behavior (mainWordlist.go:18-22)."""
+    from pyspark.sql import functions as F
+
+    from nightcrawlercmd_spark.operators.textops import extract_tokens
+
+    text = (
+        'Mail Jörg.Müller@bücher-shop.de or x@y.zz see "the config" '
+        "and 'single quoted' plus http://abs.test/a/b and rel/path/item5"
+    )
+    df = spark.createDataFrame([(text,)], "t string")
+
+    def toks(mode):
+        return df.select(F.explode(extract_tokens(F.col("t"), mode)).alias("x")).collect()
+
+    emails = [r["x"] for r in toks("email")]
+    assert emails == ["Jörg.Müller@bücher-shop.de"]  # x@y.zz local part < 3 chars
+    strings = sorted(r["x"] for r in toks("string"))
+    assert strings == ["single quoted", "the config"]
+    urls = [r["x"] for r in toks("url")]
+    assert any("abs.test" in u for u in urls)  # url_abs shape
+    assert any(u.startswith("rel/") or "/path/" in u for u in urls)  # url_rel shape
+    assert [r["x"] for r in toks("none")] == [text]  # newline split
