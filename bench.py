@@ -330,7 +330,9 @@ def main() -> None:
         try:
             mw = mid_world()
             m_hi = run_crawl(16, rounds, world=mw)
+            m_hi["hw_rate"] = (hardware_capacity(16, reps=1) + m_hi["hw_rate_before"]) / 2
             m_lo = run_crawl(4, rounds, world=mw)
+            m_lo["hw_rate"] = (hardware_capacity(4, reps=1) + m_lo["hw_rate_before"]) / 2
             m_eff = (m_hi["urls_per_sec"] / m_lo["urls_per_sec"]) / 4.0
             ms_hi = m_hi.get("steady_urls_per_sec")
             ms_lo = m_lo.get("steady_urls_per_sec")
@@ -340,6 +342,9 @@ def main() -> None:
                 "scaling_efficiency_raw": round(m_eff, 3),
                 "steady_scaling_efficiency_raw": (
                     round((ms_hi / ms_lo) / 4.0, 3) if ms_hi and ms_lo else None
+                ),
+                "hardware_scaling": round(
+                    (m_hi["hw_rate"] / m_lo["hw_rate"]) / 4.0, 3
                 ),
                 "parallelism": "local[4] vs local[16]",
             }

@@ -21,6 +21,8 @@ partitioning, batch shape) is identical.
 
 from __future__ import annotations
 
+import re
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,6 +47,81 @@ _PASSTHRU = ["canon_url", "url_hash", "host", "host_hash", "salt", "depth", "pri
 _FETCHED = ["status_code", "location", "content_type", "body", "image_id",
             "caption", "resp_ms", "error"]
 
+# page identity markers emitted by the synthetic world's bodies — the
+# real-HTTP path recovers image_id/caption by parsing, like a real
+# crawler would (the synthetic responder hands them over directly)
+_IMG_TAG_RE = re.compile(rb'<img src="/img/(img-[0-9a-f]{16})\.png" alt="([^"]*)"')
+
+
+class HttpFetcher:
+    """Real HTTP client against a WorldHTTPServer-style endpoint
+    (``host:port``): virtual-hosted GETs with keep-alive, redirects NOT
+    followed (the engine enqueues Location targets itself, O76). Same
+    row shape as the synthetic ``corpus.fetch_one``."""
+
+    def __init__(self, endpoint: str):
+        host, port = endpoint.rsplit(":", 1)
+        self._addr = (host, int(port))
+        self._conn = None
+
+    def _connection(self):
+        import http.client
+
+        if self._conn is None:
+            self._conn = http.client.HTTPConnection(*self._addr, timeout=30)
+        return self._conn
+
+    def _get(self, path: str, vhost: str):
+        conn = self._connection()
+        try:
+            conn.request("GET", path, headers={"Host": vhost})
+            return conn.getresponse()
+        except Exception:
+            # stale keep-alive — reconnect once
+            self._conn.close()
+            self._conn = None
+            conn = self._connection()
+            conn.request("GET", path, headers={"Host": vhost})
+            return conn.getresponse()
+
+    def fetch(self, canon_url: str) -> dict:
+        rest = canon_url.split("://", 1)[1]
+        vhost, _, pathq = rest.partition("/")
+        t0 = time.perf_counter()
+        base = {
+            "canon_url": canon_url, "status_code": 0, "location": None,
+            "content_type": "", "body": b"", "image_id": None,
+            "caption": None, "resp_ms": 0, "error": None,
+        }
+        try:
+            resp = self._get("/" + pathq, vhost)
+            body = resp.read()
+        except Exception as e:
+            base["error"] = f"fetch: {e}"
+            base["resp_ms"] = int((time.perf_counter() - t0) * 1000)
+            return base
+        base["status_code"] = resp.status
+        base["location"] = resp.getheader("Location")
+        base["content_type"] = resp.getheader("Content-Type") or ""
+        base["body"] = body
+        base["resp_ms"] = int((time.perf_counter() - t0) * 1000)
+        if resp.status == 200:
+            m = _IMG_TAG_RE.search(body)
+            if m:
+                base["image_id"] = m.group(1).decode()
+                base["caption"] = m.group(2).decode()
+        return base
+
+    def fetch_image(self, image_id: str):
+        """GET the payload bytes + typed metadata; decode happens in the
+        caller (same codec path as the synthetic mode)."""
+        resp = self._get(f"/img/{image_id}.png", self._addr[0])
+        blob = resp.read()
+        fmt = resp.getheader("X-Img-Fmt")
+        w = int(resp.getheader("X-Img-W"))
+        h = int(resp.getheader("X-Img-H"))
+        return blob, w, h, fmt
+
 
 def fetch_stage(
     dequeued: DataFrame,
@@ -54,6 +131,7 @@ def fetch_stage(
     follow: list[str] | None = None,
     dont_follow: list[str] | None = None,
     strict_filters: bool = False,
+    http_endpoint: str | None = None,
 ) -> DataFrame:
     """dequeued frontier rows → fetched pages (one row per URL).
 
@@ -64,10 +142,15 @@ def fetch_stage(
     """
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one keep-alive connection per task when fetching real HTTP
+        fetcher = HttpFetcher(http_endpoint) if http_endpoint else None
         for pdf in batches:
             if pdf.empty:
                 continue
-            res = [fetch_one(world, u) for u in pdf["canon_url"]]
+            if fetcher is not None:
+                res = [fetcher.fetch(u) for u in pdf["canon_url"]]
+            else:
+                res = [fetch_one(world, u) for u in pdf["canon_url"]]
             out = pdf[_PASSTHRU].reset_index(drop=True)
             rdf = pd.DataFrame(res).reset_index(drop=True)
             for col in _FETCHED:
@@ -76,11 +159,16 @@ def fetch_stage(
             children: list[list[tuple[str, float]]] = []
             for r, depth in zip(res, pdf["depth"]):
                 if decode_images and r["image_id"] is not None:
-                    # 'fetch' the referenced payload (deterministic bytes),
-                    # then decode + hash — the per-page media work a real
-                    # crawler pays. encode = wire bytes, decode = ingest.
-                    img, w, h, fmt = gen_image(world, r["image_id"])
-                    decoded = C.decode(C.encode(img, fmt), fmt, w, h)
+                    # fetch the referenced payload (real GET when an
+                    # endpoint is set, deterministic bytes otherwise),
+                    # then decode + hash — the per-page media work a
+                    # real crawler pays. encode = wire, decode = ingest.
+                    if fetcher is not None:
+                        blob, w, h, fmt = fetcher.fetch_image(r["image_id"])
+                    else:
+                        img, w, h, fmt = gen_image(world, r["image_id"])
+                        blob = C.encode(img, fmt)
+                    decoded = C.decode(blob, fmt, w, h)
                     img_cols["img_w"].append(w)
                     img_cols["img_h"].append(h)
                     img_cols["img_fmt"].append(fmt)

@@ -119,6 +119,10 @@ class EngineConfig:
     follow: list[str] | None = None
     dont_follow: list[str] | None = None
     strict_reference_filters: bool = False
+    # real-HTTP mode (O13 fixture / deployment seam): "host:port" of a
+    # WorldHTTPServer (or any virtual-hosting endpoint); None = the
+    # deterministic in-process responder
+    http_endpoint: str | None = None
     compact_seen_every: int = 8  # consolidate seen deltas every K rounds
     expected_urls: int = 1 << 17
     bloom: BloomConfig = field(default_factory=BloomConfig)
@@ -474,6 +478,7 @@ class CrawlEngine:
             follow=cfg.follow,
             dont_follow=cfg.dont_follow,
             strict_filters=cfg.strict_reference_filters,
+            http_endpoint=cfg.http_endpoint,
         )
         # free per-round metrics: observed during the write action itself
         from pyspark.sql import Observation
@@ -492,8 +497,8 @@ class CrawlEngine:
         metrics = {k: (int(v) if v is not None else 0) for k, v in obs.get.items()}
         tick("dequeue+fetch+write_pages")
         pages = store.read_snapshot(spark, "pages", r)
-        n_fetched = pages.count()
-        tick("count_pages")
+        # free: observed during the write — no extra count job per round
+        n_fetched = metrics.get("fetched", 0)
         if n_fetched == 0:
             # nothing dequeued → pending unchanged; carry the manifest
             # forward instead of rewriting any bucket
@@ -542,12 +547,17 @@ class CrawlEngine:
         new = _with_salt_cols(new, cfg.n_salts).select(*PENDING_COLS)
         # the seen delta carries the full pending shape (lineage incl.) so
         # the next-round pending rows are a column-pruned re-read, not a
-        # recompute; first_round == discovered_round here.
+        # recompute; first_round == discovered_round here. The delta size
+        # is observed during the write — no extra count job per round.
+        sobs = Observation(f"seen_{r}")
         store.append(
-            new.withColumn("first_round", F.lit(r)),
+            new.withColumn("first_round", F.lit(r)).observe(
+                sobs, F.count(F.lit(1)).alias("rows")
+            ),
             "seen",
             r,
         )
+        n_new = int(sobs.get.get("rows") or 0)
         if tagged is not None:
             tagged.unpersist()
         tick("enqueue+dedupe+write_seen")
@@ -555,7 +565,6 @@ class CrawlEngine:
         # the pending add/remove deltas — nothing extra is written here.
         # Every pending_compact_every rounds the assembled table is
         # rewritten bucket-partitioned to bound read amplification.
-        n_new = store.read_snapshot(spark, "seen", r).select("url_hash").count()
         pending_rewritten = 0
         manifest, compact = prev_manifest, prev_compact
         if cfg.pending_compact_every and r % cfg.pending_compact_every == 0:
