@@ -77,6 +77,82 @@ def thumbnails(images: DataFrame, size: int = 16, n_tasks: int = 32) -> DataFram
     return images.repartition(n_tasks).mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "video_id string, frame_idx int, t_ms int, w int, h int, "
+    "frame binary, phash bigint"
+)
+
+
+def sample_frames(videos: DataFrame, every_k: int = 4, n_tasks: int = 32) -> DataFrame:
+    """Frame-sample opaque video blobs: every k-th frame of the
+    concatenated-rgb8 payload, emitted as its own row with a timestamp
+    and perceptual hash. One Arrow batch in, one (larger) batch out —
+    the standard video→frame fan-out shape for a training-data
+    pipeline. A real deployment swaps the frame slicer for a container
+    demuxer behind the same batch signature."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, nf, fps = int(r.w), int(r.h), int(r.n_frames), int(r.fps)
+                stride = w * h * 3
+                blob = bytes(r.bytes)
+                for k in range(0, nf, every_k):
+                    frame = np.frombuffer(
+                        blob, dtype=np.uint8, count=stride, offset=k * stride
+                    ).reshape(h, w, 3)
+                    rows.append(
+                        {
+                            "video_id": r.video_id,
+                            "frame_idx": k,
+                            "t_ms": int(k * 1000 / fps),
+                            "w": w,
+                            "h": h,
+                            "frame": frame.tobytes(),
+                            "phash": C.phash64(frame),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return videos.repartition(n_tasks).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "audio_id string, sr int, n_samples int, duration_ms int, "
+    "rms double, peak double, zcr double"
+)
+
+
+def audio_features(audio: DataFrame, n_tasks: int = 32) -> DataFrame:
+    """Decode pcm16le blobs and emit per-clip features (duration, RMS,
+    peak, zero-crossing rate) — vectorized numpy per batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pcm = np.frombuffer(bytes(r.bytes), dtype="<i2").astype(np.float64)
+                pcm /= 32768.0
+                n = len(pcm)
+                sr = int(r.sr)
+                zc = int(np.count_nonzero(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                rows.append(
+                    {
+                        "audio_id": r.audio_id,
+                        "sr": sr,
+                        "n_samples": n,
+                        "duration_ms": int(n * 1000 / sr),
+                        "rms": float(np.sqrt(np.mean(pcm**2))) if n else 0.0,
+                        "peak": float(np.max(np.abs(pcm))) if n else 0.0,
+                        "zcr": float(zc / max(n - 1, 1)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return audio.repartition(n_tasks).mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 def phash_near_dupes(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-duplicate images by perceptual-hash Hamming distance,
     blocked on the top-16 phash bits so the self-join never goes

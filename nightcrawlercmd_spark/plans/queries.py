@@ -387,6 +387,124 @@ GROUP BY c_mktsegment
 """
 
 
+def q_shipping_priority(spark, sf):
+    """TPC-H-Q3-shaped 3-way join + grouped aggregate + ranked limit
+    (broadcastable dim, two shuffle joins, decimal-exact revenue)."""
+    cust = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+    )
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(d2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d2("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  cast(sum(cast(l_extendedprice as decimal(18,2)) *
+           (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double)
+      AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < timestamp '1995-03-15 00:00:00'
+  AND l_shipdate > timestamp '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_rollup_lineitem(spark, sf):
+    """ROLLUP aggregate (subtotals + grand total) — the multi-level
+    report shape; NULL group keys mark subtotal rows in both engines."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_top_parts_per_brand(spark, sf):
+    """Window top-k per group over a dimension table (dense ranking by
+    retail price; the per-host dequeue shape on relational data)."""
+    part = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+SQL_TOP_PARTS_PER_BRAND = """
+SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part)
+WHERE rk <= 2
+"""
+
+
+def q_conditional_agg_events(spark, sf):
+    """Conditional aggregation (pivot-style sum(case when…)) per user —
+    one pass, no join, the classic funnel/report shape."""
+    ev = _t(spark, sf, "events")
+    cnt_of = lambda t: F.sum((F.col("event_type") == t).cast("bigint"))
+    val = F.col("value").cast("decimal(18,6)")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            cnt_of("click").alias("n_click"),
+            cnt_of("view").alias("n_view"),
+            F.sum(F.when(F.col("event_type") == "click", val).otherwise(F.lit(0).cast("decimal(18,6)")))
+            .cast("double")
+            .alias("click_value"),
+        )
+    )
+
+
+SQL_CONDITIONAL_AGG_EVENTS = """
+SELECT user_id, count(*) AS n_events,
+  cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS n_click,
+  cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_view,
+  cast(sum(CASE WHEN event_type = 'click' THEN cast(value as decimal(18,6))
+               ELSE cast(0 as decimal(18,6)) END) as double) AS click_value
+FROM events GROUP BY user_id
+"""
+
+
 # =====================================================================
 # Training-data pipeline: dedupe family
 # =====================================================================
@@ -738,6 +856,36 @@ def q_multimodal_decode(spark, sf):
     return MM.decode_features(images, n_tasks=8)
 
 
+def q_multimodal_thumbs(spark, sf):
+    """Image resize plumbing: area-resample to 16×16 + lossless
+    re-encode over the payload table (rows-only; invariants in pytest)."""
+    from ..sources.corpus import WorldConfig, all_page_urls, images_pdf
+
+    world = WorldConfig(n_hosts=3, base_pages=6, hot_factor=2, tag="drv-img")
+    images = spark.createDataFrame(images_pdf(world, all_page_urls(world)))
+    return MM.thumbnails(images, size=16, n_tasks=8)
+
+
+def q_video_frames(spark, sf):
+    """Video frame-sampling plumbing: opaque concatenated-rgb8 blobs →
+    every-4th-frame rows with timestamps + phash (rows-only)."""
+    from ..sources.corpus import WorldConfig, videos_pdf
+
+    world = WorldConfig(tag="drv-vid")
+    videos = spark.createDataFrame(videos_pdf(world, 24))
+    return MM.sample_frames(videos, every_k=4, n_tasks=8)
+
+
+def q_audio_features(spark, sf):
+    """Audio decode/feature plumbing: pcm16 blobs → duration/RMS/peak/
+    zero-crossing-rate rows (rows-only)."""
+    from ..sources.corpus import WorldConfig, audios_pdf
+
+    world = WorldConfig(tag="drv-aud")
+    audio = spark.createDataFrame(audios_pdf(world, 40))
+    return MM.audio_features(audio, n_tasks=8)
+
+
 def q_ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     dim = len(_query_vec(spark, sf))
@@ -824,6 +972,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "status_classify": q_status_classify,
     "pricing_summary": q_pricing_summary,
     "join_orders_customers": q_join_orders_customers,
+    "shipping_priority": q_shipping_priority,
+    "rollup_lineitem": q_rollup_lineitem,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "conditional_agg_events": q_conditional_agg_events,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -839,6 +991,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
     "crawl_e2e": q_crawl_e2e,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_thumbs": q_multimodal_thumbs,
+    "video_frames": q_video_frames,
+    "audio_features": q_audio_features,
     "ann_lsh_topk": q_ann_lsh_topk,
     "fuzzer_generate": q_fuzzer_generate,
     "dns_sweep": q_dns_sweep,
@@ -860,6 +1015,10 @@ ORACLES: dict[str, str] = {
     "status_classify": SQL_STATUS_CLASSIFY,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
+    "conditional_agg_events": SQL_CONDITIONAL_AGG_EVENTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -298,3 +298,72 @@ def images_pdf(cfg: WorldConfig, canon_urls: list[str]) -> pd.DataFrame:
 
 def all_page_urls(cfg: WorldConfig) -> list[str]:
     return [page_url(hst, j) for hst in hosts(cfg) for j in range(n_pages(cfg, hst))]
+
+
+# ------------------------------------------------- video / audio payloads --
+
+def gen_video(cfg: WorldConfig, video_id: str) -> tuple[bytes, int, int, int, int]:
+    """Deterministic 'video': n_frames rgb8 frames concatenated — the
+    base image translated one pixel per frame (so frame k is
+    recomputable independently). Returns (bytes, w, h, n_frames, fps)."""
+    w = hint(16, 32, cfg.tag, video_id, "vw")
+    h = hint(16, 32, cfg.tag, video_id, "vh")
+    n_frames = hint(8, 24, cfg.tag, video_id, "vn")
+    fps = hchoice([10, 15, 30], cfg.tag, video_id, "vfps")
+    frames = [gen_video_frame(cfg, video_id, k, w, h) for k in range(n_frames)]
+    return b"".join(f.tobytes() for f in frames), w, h, n_frames, fps
+
+
+def gen_video_frame(
+    cfg: WorldConfig, video_id: str, k: int, w: int, h: int
+) -> np.ndarray:
+    """Frame k of a video, independently recomputable (test oracle)."""
+    seed = h64(cfg.tag, video_id, "vpx") % (2**32)
+    rng = np.random.Generator(np.random.Philox(seed))
+    noise = rng.integers(-12, 13, size=(h, w, 3), dtype=np.int16)
+    base = np.clip(_gradient_base(w, h) + noise, 0, 255).astype(np.uint8)
+    return np.roll(base, shift=k, axis=1)  # 1 px/frame horizontal pan
+
+
+def videos_pdf(cfg: WorldConfig, n: int) -> pd.DataFrame:
+    """videos(video_id, bytes, w, h, n_frames, fps) — opaque binary +
+    typed metadata, the multimodal-column shape (BASELINE input_hint
+    style)."""
+    rows = []
+    for i in range(n):
+        vid = f"vid-{h64(cfg.tag, 'video', i):016x}"
+        blob, w, h, nf, fps = gen_video(cfg, vid)
+        rows.append(
+            {"video_id": vid, "bytes": blob, "w": np.int32(w), "h": np.int32(h),
+             "n_frames": np.int32(nf), "fps": np.int32(fps)}
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_audio(cfg: WorldConfig, audio_id: str) -> tuple[bytes, int]:
+    """Deterministic pcm16le mono clip: two sines + hash noise.
+    Returns (bytes, sample_rate)."""
+    sr = hchoice([8000, 16000], cfg.tag, audio_id, "asr")
+    n = hint(sr // 4, sr, cfg.tag, audio_id, "an")  # 0.25-1.0 s
+    f1 = hint(100, 800, cfg.tag, audio_id, "af1")
+    f2 = hint(900, 3000, cfg.tag, audio_id, "af2")
+    t = np.arange(n, dtype=np.float64) / sr
+    seed = h64(cfg.tag, audio_id, "apx") % (2**32)
+    rng = np.random.Generator(np.random.Philox(seed))
+    sig = (
+        0.5 * np.sin(2 * np.pi * f1 * t)
+        + 0.25 * np.sin(2 * np.pi * f2 * t)
+        + 0.05 * rng.standard_normal(n)
+    )
+    pcm = np.clip(np.round(sig * 0.8 * 32767), -32768, 32767).astype("<i2")
+    return pcm.tobytes(), sr
+
+
+def audios_pdf(cfg: WorldConfig, n: int) -> pd.DataFrame:
+    """audio(audio_id, bytes, sr) — opaque pcm16 binary + metadata."""
+    rows = []
+    for i in range(n):
+        aid = f"aud-{h64(cfg.tag, 'audio', i):016x}"
+        blob, sr = gen_audio(cfg, aid)
+        rows.append({"audio_id": aid, "bytes": blob, "sr": np.int32(sr)})
+    return pd.DataFrame(rows)
