@@ -505,6 +505,46 @@ FROM events GROUP BY user_id
 """
 
 
+def q_sessionize_events(spark, sf):
+    """Session windows (30-min inactivity gap) per user — Spark's
+    built-in session_window vs a gaps-and-islands SQL twin (lag + brk
+    cumulative sum). session_start as epoch seconds so the comparison
+    is timezone-free; a new session starts when the gap ≥ the timeout
+    (session end is exclusive)."""
+    ev = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM e)
+SELECT user_id, cast(floor(epoch(min(ts))) as bigint) AS session_start,
+       count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 # =====================================================================
 # Training-data pipeline: dedupe family
 # =====================================================================
@@ -976,6 +1016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_lineitem": q_rollup_lineitem,
     "top_parts_per_brand": q_top_parts_per_brand,
     "conditional_agg_events": q_conditional_agg_events,
+    "sessionize_events": q_sessionize_events,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1019,6 +1060,7 @@ ORACLES: dict[str, str] = {
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
     "conditional_agg_events": SQL_CONDITIONAL_AGG_EVENTS,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -122,6 +122,45 @@ def events_windowed_counts_stream(
     )
 
 
+def user_sessions_stream(
+    spark: SparkSession, sf_dir: str, checkpoint: str, query_name: str = "ev_sessions"
+):
+    """Stateful session windows on a stream: 30-minute inactivity gap
+    per user with a watermark (Spark's native session_window state
+    store does the merging across micro-batches). availableNow +
+    append → once the stream drains, the memory sink equals the batch
+    twin (plans/queries.q_sessionize_events)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        src.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def events_windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin — the oracle for the streaming job."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(

@@ -38,6 +38,48 @@ def test_events_windowed_counts_stream_matches_batch(spark, tmp_path):
     assert got == want and got
 
 
+def test_user_sessions_stream_matches_batch(spark, tmp_path):
+    """Native stateful session windows on a stream == the batch twin
+    (for sessions the watermark has closed)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from nightcrawlercmd_spark.streaming.jobs import user_sessions_stream
+
+    q = user_sessions_stream(spark, SF, str(tmp_path / "ckpt_sess"), "ev_sess_t")
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("select * from ev_sess_t").collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    max_ts = ev.agg(F.max("ts")).head()[0]
+    cutoff = max_ts - datetime.timedelta(minutes=1)  # 1-min watermark
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 6))
+        for r in (
+            ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.unix_timestamp("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+        if r["session_end"] <= cutoff
+    }
+    assert got == want and got
+
+
 def test_crawl_monitor_stateful_across_batches(spark, tmp_path):
     world = WorldConfig(n_hosts=3, base_pages=8, tag="t-stream")
     eng = CrawlEngine(
