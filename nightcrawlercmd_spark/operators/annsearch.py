@@ -86,6 +86,81 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids_k: int = 8,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    that complements ``lsh_topk``.
+
+    Structure (what matters at 100 TB): every vector is assigned to its
+    nearest of K centroids (the "cells"); a query probes only the
+    ``nprobe`` cells nearest to it, so the exact-rank work drops from
+    O(N) to O(N * nprobe / K) expected. Centroids here are the first K
+    vectors of the corpus — a deterministic stand-in for a trained
+    k-means codebook that keeps the operator oracle-checkable; swap in
+    trained centroids without touching the plan.
+
+    Plan shape: the codebook is driver-collected (K rows, small by
+    construction) and unrolled into a per-row JVM expression
+    (``array_max`` over ``struct(sim, -cid)``), so cell assignment is a
+    narrow map — NO shuffle, NO crossJoin, no Python. The probe filter
+    then prunes to the candidate cells and ``TakeOrderedAndProject``
+    finishes top-k. Ties break to the lowest centroid id (struct
+    ordering on ``(csim, -cid)``), matching the oracle's
+    ``ORDER BY csim DESC, cid``.
+    """
+    import math
+
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < centroids_k)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def _drv_cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c))
+        return round(sum(a * b for a, b in zip(query_vec, c)) / (qn * cn), 6)
+
+    probe_ids = sorted(
+        cid for cid, _ in sorted(cents, key=lambda t: (-_drv_cos(t[1]), t[0]))[:nprobe]
+    )
+    v = F.col("v")
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _dot(v, F.array(*[F.lit(x) for x in c]))
+                        / (_norm(v) * F.lit(math.sqrt(sum(x * x for x in c)))),
+                        6,
+                    ).alias("csim"),
+                    F.lit(-cid).alias("ncid"),
+                )
+                for cid, c in cents
+            ]
+        )
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("cell", (-best["ncid"]).cast("bigint"))
+        .filter(F.col("cell").isin(probe_ids))
+        .select(
+            "vec_id",
+            F.round(_dot(v, q) / (_norm(v) * F.lit(qn)), 6).alias("sim"),
+            "cell",
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def cosine_near_dup_lsh(
     emb: DataFrame, planes: list[list[float]], threshold: float = 0.9
 ) -> DataFrame:

@@ -1,0 +1,88 @@
+"""Iterative graph operators: connected components for dedup clustering.
+
+A MinHash-LSH (or SimHash / embedding-LSH) near-dup pass emits *pairs*
+(`A ~ B`). Turning pairwise evidence into dedup *groups* ("keep one doc
+per component") needs the transitive closure — connected components
+over the pair list. This is the standard final step of a web-scale
+dedup pipeline and the reference has no analog (it has no dedup at
+all); it is part of the training-data layer this engine adds.
+
+Algorithm: min-label propagation. ``label(v) := min(label(v),
+min_{u in N(v)} label(u))`` swept to fixpoint. Each sweep is one
+shuffle (hash join edges×labels + groupBy-min, both map-side
+combinable); convergence takes O(component diameter) sweeps. Near-dup
+components are star-like (diameter <= ~3 — most dups cluster around a
+canonical text), so a handful of sweeps suffice and this beats the
+O(log n)-round large-star/small-star alternation (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) on constant
+factors; switch to the alternation if long-chain components are
+expected. ``localCheckpoint`` truncates lineage each sweep so the plan
+does not grow with iteration count; on a real cluster use a
+fault-tolerant ``checkpoint()`` (HDFS/S3 checkpoint dir) instead.
+
+The early-exit test is a `limit(1).count()` over changed labels — an
+O(1)-result job per sweep, not a data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns ``(node, label)`` where ``label`` is the smallest node id
+    in the component — a deterministic canonical representative, so
+    downstream "keep the representative, drop the rest" is stable
+    across runs and engines.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = sym.alias("e").join(
+            labels.alias("l"), F.col("e.a") == F.col("l.node")
+        ).select(F.col("e.b").alias("node"), F.col("l.label").alias("label"))
+        new = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Dedup groups from near-dup pairs: ``(doc_id, cluster_id,
+    cluster_size)`` for every doc that appears in at least one pair.
+    ``cluster_id`` is the min doc_id of the component (the keeper under
+    a keep-smallest policy); singletons never enter the edge list and
+    are trivially their own keepers."""
+    comp = connected_components(edges, src, dst)
+    sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )

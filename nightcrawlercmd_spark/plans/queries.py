@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import annsearch as ANN
+from ..operators import graphs as G
 from ..operators import textops as T
 from ..operators import multimodal as MM
 
@@ -387,6 +388,44 @@ GROUP BY c_mktsegment
 """
 
 
+def q_salted_join_skew(spark, sf):
+    """Skew-defused shuffle join: the fact side's join key is salted
+    (pmod(xxhash64(o_orderkey), 8)) and the dim side replicated across
+    the 8 salts, so one hot customer key fans out over 8 reducers
+    instead of one straggler task. Same salting pattern the engine's
+    dequeue uses for hot hosts (BASELINE.json north_star). The result
+    is provably identical to the plain join — the oracle IS the plain
+    join — so the rewrite is pure plan surgery."""
+    salts = 8
+    orders = _t(spark, sf, "orders").withColumn(
+        "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(salts)).cast("int")
+    )
+    cust = (
+        _t(spark, sf, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .crossJoin(
+            spark.range(salts).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    return (
+        orders.join(
+            cust,
+            (orders["o_custkey"] == cust["c_custkey"])
+            & (orders["_salt"] == cust["_salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+SQL_SALTED_JOIN_SKEW = SQL_JOIN_ORDERS_CUSTOMERS
+
+
 def q_shipping_priority(spark, sf):
     """TPC-H-Q3-shaped 3-way join + grouped aggregate + ranked limit
     (broadcastable dim, two shuffle joins, decimal-exact revenue)."""
@@ -632,6 +671,41 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Transitive dedup groups: MinHash-LSH pairs → connected
+    components (min-label propagation, operators/graphs.py) → per-doc
+    (cluster_id, cluster_size). The iterative Spark loop is checked
+    against DuckDB's recursive-CTE transitive closure over the same
+    edge set — a genuine fixpoint-vs-fixpoint oracle."""
+    pairs = T.minhash_lsh_pairs(_t(spark, sf, "documents"), n_hashes=8, band_size=2)
+    return G.dedup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SH_CTE},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+comp AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+
 def q_dedup_simhash(spark, sf):
     return T.simhash16(_t(spark, sf, "documents"))
 
@@ -812,6 +886,38 @@ WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.35
 
 
 SQL_COSINE_NEAR_DUP_LSH = _sql_cosine_near_dup_lsh()
+
+
+def q_ann_ivf_topk(spark, sf):
+    """IVF coarse-quantizer ANN (annsearch.ivf_topk): assign every
+    vector to its nearest of K=8 centroids with a shuffle-free JVM
+    argmax, probe the query's nprobe=2 nearest cells, exact-rank inside
+    them. Fully SQL-expressible, so unlike the hyperplane-LSH variant
+    this scale path gets a value-hash oracle."""
+    return ANN.ivf_topk(
+        _t(spark, sf, "embeddings"), _query_vec(spark, sf), centroids_k=8, nprobe=2, k=10
+    )
+
+
+SQL_ANN_IVF_TOPK = """
+WITH c AS (SELECT vec_id AS cid, cast(embedding as double[]) AS cv
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+            ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cid) AS rk
+  FROM v CROSS JOIN c),
+cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rk = 1),
+probe AS (SELECT cid FROM c CROSS JOIN q
+          ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid LIMIT 2)
+SELECT vec_id,
+       round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim,
+       cast(cell as bigint) AS cell
+FROM cells WHERE cell IN (SELECT cid FROM probe)
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
 
 
 def q_embedding_norms(spark, sf):
@@ -1012,6 +1118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "status_classify": q_status_classify,
     "pricing_summary": q_pricing_summary,
     "join_orders_customers": q_join_orders_customers,
+    "salted_join_skew": q_salted_join_skew,
     "shipping_priority": q_shipping_priority,
     "rollup_lineitem": q_rollup_lineitem,
     "top_parts_per_brand": q_top_parts_per_brand,
@@ -1019,6 +1126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "near_dup_lsh_exact": q_near_dup_lsh_exact,
@@ -1027,6 +1135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_norms": q_embedding_norms,
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
@@ -1056,6 +1165,7 @@ ORACLES: dict[str, str] = {
     "status_classify": SQL_STATUS_CLASSIFY,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
+    "salted_join_skew": SQL_SALTED_JOIN_SKEW,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
@@ -1063,6 +1173,7 @@ ORACLES: dict[str, str] = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "near_dup_lsh_exact": SQL_NEAR_DUP_LSH_EXACT,
@@ -1071,6 +1182,7 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "cosine_near_dup_lsh": SQL_COSINE_NEAR_DUP_LSH,

@@ -1,0 +1,130 @@
+"""Physical-plan property assertions.
+
+The oracle suite checks *values*; this file checks the *plan* — the
+scale guarantees PLANS.md documents, locked in CI so a refactor can't
+silently regress them: predicate pushdown reaching the parquet scan,
+column pruning, broadcast dims, bucket-keyed (never cartesian)
+self-joins, push-down top-k, and whole-stage codegen on the hot
+expressions.
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from nightcrawlercmd_spark.operators import annsearch as ANN
+from nightcrawlercmd_spark.operators import textops as T
+from nightcrawlercmd_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_custkey") == 5)
+        .select("o_orderkey")
+    )
+    p = plan_of(df)
+    assert "PushedFilters" in p and "o_custkey" in p.split("PushedFilters")[1].split("\n")[0]
+    read_schema = p.split("ReadSchema")[1].split("\n")[0]
+    assert "o_orderkey" in read_schema
+    assert "o_totalprice" not in read_schema  # unused columns never leave the scan
+
+
+def test_wordlist_scan_prunes_unused_columns(spark):
+    p = plan_of(Q.q_report_wordlist(spark, SF))
+    read_schema = p.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "n_chars" not in read_schema and "lang" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark):
+    p = plan_of(Q.q_join_orders_customers(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_selfjoin_keyed_on_bands(spark):
+    df = T.minhash_lsh_pairs(
+        spark.read.parquet(f"{SF}/documents.parquet"), n_hashes=8, band_size=2
+    )
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "band_hash" in p  # the join key is the LSH bucket, not all-pairs
+
+
+def test_cosine_lsh_selfjoin_keyed_on_bucket(spark):
+    planes = ANN.deterministic_planes(64, n_planes=4)
+    df = ANN.cosine_near_dup_lsh(
+        spark.read.parquet(f"{SF}/embeddings.parquet"), planes, threshold=0.35
+    )
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "blk" in p  # the join key is the LSH bucket (aliased blk)
+
+
+def test_topk_is_pushdown_not_global_sort(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    assert "TakeOrderedAndProject" in plan_of(ANN.brute_force_topk(emb, qv, k=10))
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    """IVF cell assignment must be a narrow map: no join, no exchange
+    between the scan and the probe filter (the only exchange allowed is
+    the final top-k, which TakeOrderedAndProject avoids anyway)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    p = plan_of(ANN.ivf_topk(emb, qv, centroids_k=8, nprobe=2, k=10))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # zero shuffles in the whole query
+    assert "Join" not in p  # codebook is unrolled into expressions, not joined
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    p = plan_of(T.dedup_exact(spark.read.parquet(f"{SF}/documents.parquet")))
+    # map-side combine: partial agg below a single exchange, final above
+    assert "partial_min" in p and "partial_count" in p
+    assert p.count("Exchange (") == 1  # tree nodes render as "Exchange (n)"
+
+
+def test_hot_expressions_stay_jvm_side(spark):
+    """No Python-eval nodes anywhere in the text/dedup hot paths —
+    everything is JVM expression eval (quality_score's higher-order
+    lambdas are interpreted-JVM, which Spark legitimately keeps outside
+    whole-stage codegen; still no Arrow/pickle boundary)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        T.quality_score(docs),
+        T.token_counts_by_source(docs),
+        T.minhash_lsh_pairs(docs, n_hashes=8, band_size=2),
+    ):
+        p = plan_of(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_relational_agg_is_whole_stage_codegen(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()  # AQE renders codegen markers only in the executed final plan
+    p = plan_of(df, "simple")
+    assert "isFinalPlan=true" in p
+    assert "*(1)" in p  # codegen stage markers present
+
+
+def test_salted_join_spreads_key(spark):
+    p = plan_of(Q.q_salted_join_skew(spark, SF))
+    assert "_salt" in p  # join key includes the salt column
+    assert "CartesianProduct" not in p
