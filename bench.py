@@ -77,13 +77,14 @@ def bench_world() -> WorldConfig:
     )
 
 
-def mid_world() -> WorldConfig:
-    """Smaller world for the 4/16 leg pair: the efficiency is a ratio,
-    so the world only needs to amortize fixed round overhead — ~1/3 the
-    hosts keeps the 4-core leg's wall time reasonable."""
+def mid_world(hosts_div: int = 3) -> WorldConfig:
+    """Smaller world for the under-ceiling leg pair: the efficiency is
+    a ratio, so the world only needs to amortize fixed round overhead —
+    fewer hosts keep the low-parallelism leg's wall time reasonable
+    (``hosts_div=6`` for the 2/8 pair, 3 for the 4/16 pair)."""
     w = bench_world()
     return WorldConfig(
-        n_hosts=max(200, w.n_hosts // 3),
+        n_hosts=max(200, w.n_hosts // hosts_div),
         base_pages=w.base_pages,
         hot_factor=w.hot_factor,
         links_lo=w.links_lo,
@@ -160,7 +161,10 @@ def run_crawl(cpus: int, rounds: int, world: WorldConfig | None = None) -> dict:
             state_dir=state,
             world=world,
             max_rounds=rounds,
-            fetch_tasks=max(8, cpus * 2),
+            # 4 waves per stage at every parallelism: equal straggler
+            # amortization across legs (2 waves on the high leg vs 4+
+            # on the low leg would systematically flatter the low leg)
+            fetch_tasks=max(8, cpus * 4),
             n_salts=16,
             use_bloom=True,
             decode_images=True,
@@ -237,7 +241,10 @@ def frontier_growth(cpus: int) -> dict:
             world=world,
             max_rounds=4,
             round_capacity=1500,
-            fetch_tasks=max(8, cpus * 2),
+            # 4 waves per stage at every parallelism: equal straggler
+            # amortization across legs (2 waves on the high leg vs 4+
+            # on the low leg would systematically flatter the low leg)
+            fetch_tasks=max(8, cpus * 4),
             pending_buckets=64,
             pending_compact_every=3,
             use_bloom=True,
@@ -328,11 +335,22 @@ def main() -> None:
     # the RAW ratio is meaningful without hardware normalization
     if os.environ.get("NCS_BENCH_MIDPAIR", "1") != "0" and CPUS >= 16:
         try:
-            mw = mid_world()
-            m_hi = run_crawl(16, rounds, world=mw)
-            m_hi["hw_rate"] = (hardware_capacity(16, reps=1) + m_hi["hw_rate_before"]) / 2
-            m_lo = run_crawl(4, rounds, world=mw)
-            m_lo["hw_rate"] = (hardware_capacity(4, reps=1) + m_lo["hw_rate_before"]) / 2
+            # adaptive pair selection: probe the pure-CPU ceiling first
+            # and pick the largest N-vs-4N pair that still fits under
+            # this shared VM's *current* capacity, so the RAW ratio is
+            # meaningful without hardware normalization. On a dedicated
+            # cluster the probe returns ~1.0 and the 4/16 pair is used.
+            probe_lo = hardware_capacity(4, reps=1)
+            probe_hi = hardware_capacity(16, reps=1)
+            probe_eff = round((probe_hi / probe_lo) / 4.0, 3)
+            if probe_eff >= 0.78:
+                pl, ph, mw = 4, 16, mid_world(3)
+            else:  # VM too contended for 16 threads — drop to 2 vs 8
+                pl, ph, mw = 2, 8, mid_world(6)
+            m_hi = run_crawl(ph, rounds, world=mw)
+            m_hi["hw_rate"] = (hardware_capacity(ph, reps=1) + m_hi["hw_rate_before"]) / 2
+            m_lo = run_crawl(pl, rounds, world=mw)
+            m_lo["hw_rate"] = (hardware_capacity(pl, reps=1) + m_lo["hw_rate_before"]) / 2
             m_eff = (m_hi["urls_per_sec"] / m_lo["urls_per_sec"]) / 4.0
             ms_hi = m_hi.get("steady_urls_per_sec")
             ms_lo = m_lo.get("steady_urls_per_sec")
@@ -346,7 +364,8 @@ def main() -> None:
                 "hardware_scaling": round(
                     (m_hi["hw_rate"] / m_lo["hw_rate"]) / 4.0, 3
                 ),
-                "parallelism": "local[4] vs local[16]",
+                "ceiling_probe_4_16": probe_eff,
+                "parallelism": f"local[{pl}] vs local[{ph}]",
             }
         except Exception as e:
             out["crawl"]["midpair_error"] = str(e)[:200]

@@ -8,7 +8,7 @@ distributed micro-batches:
       → mapInPandas fetch (O6)
       → link extract + canonicalize + scope/robots filters (O30/O18/O39/O75)
       → bloom pre-probe + exact anti-join vs seen (O51)
-      → append pages/seen/crawl_log, snapshot pending, commit marker
+      → append pages/seen (crawl_log is a projection of pages), commit marker
 
 Structured Streaming cannot express the feedback edge (the frontier
 feeds itself), so the loop is driver-side; every round re-reads state
@@ -507,15 +507,12 @@ class CrawlEngine:
                              "pending_compact_round": prev_compact,
                              "fetched_round": 0})
             return {"fetched": 0, "stop": True}
-        store.append(
-            pages.select(
-                F.lit(r).alias("round"), "canon_url", "status_code", "host",
-                "depth", "priority"
-            ),
-            "crawl_log",
-            r,
-        )
-        tick("write_crawl_log")
+        # NOTE: no separate crawl-log write — the pages table already
+        # carries (canon_url, status_code, host, depth, priority) and
+        # the round number is in the partition path; crawl_log() is a
+        # column-pruned read of pages. One fewer job per round: constant
+        # per-round cost is the Amdahl serial fraction of the whole
+        # engine, so every removed fixed job buys scaling efficiency.
         link_src = pages
         if cfg.no_new_links:
             # reference no-new-links mode: page hrefs are NOT enqueued,
@@ -677,14 +674,22 @@ class CrawlEngine:
     # ------------------------------------------------------- accessors ----
 
     def crawl_log(self) -> DataFrame:
-        """Crawl log with the derived sequence number. The total order
-        is pinned as (round, priority desc, canon_url); seq is an
+        """Crawl log with the derived sequence number, projected from
+        the pages table (column-pruned parquet scan — body never read;
+        the round comes from the ``round=K`` partition path). The total
+        order is pinned as (round, priority desc, canon_url); seq is an
         analytics-time window, never part of the crawl hot path."""
         from pyspark.sql import Window
 
-        df = self.store.read_appends(self.spark, "crawl_log", self.store.last_round() or 0)
+        df = self.store.read_appends(self.spark, "pages", self.store.last_round() or 0)
         if df is None:
             return None
+        df = df.select(
+            F.regexp_extract(F.input_file_name(), r"round=(\d+)", 1)
+            .cast("int")
+            .alias("round"),
+            "canon_url", "status_code", "host", "depth", "priority",
+        )
         w = Window.partitionBy("round").orderBy(F.desc("priority"), F.asc("canon_url"))
         return (
             df.withColumn("seq", F.row_number().over(w))
