@@ -426,6 +426,42 @@ def q_salted_join_skew(spark, sf):
 SQL_SALTED_JOIN_SKEW = SQL_JOIN_ORDERS_CUSTOMERS
 
 
+def q_global_topk_two_level(spark, sf):
+    """Scale-safe global top-k without a single-task global sort: rank
+    within hash-salted partitions (parallel), keep each partition's
+    top k, then sort only the S*k survivors. This is the two-level
+    pattern the engine's dequeue uses for max_take (VERDICT r1 perf
+    item 4); the oracle is the plain ORDER BY/LIMIT, proving the
+    rewrite exact. Tie-safe: the sort key is made unique with
+    (l_orderkey, l_linenumber)."""
+    k, salts = 100, 16
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    order = [
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ]
+    w = Window.partitionBy("_salt").orderBy(*order)
+    return (
+        li.withColumn(
+            "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salts))
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)  # survivors: ≤ salts*k rows
+        .drop("_salt", "_rk")
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
+SQL_GLOBAL_TOPK_TWO_LEVEL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
 def q_shipping_priority(spark, sf):
     """TPC-H-Q3-shaped 3-way join + grouped aggregate + ranked limit
     (broadcastable dim, two shuffle joins, decimal-exact revenue)."""
@@ -706,6 +742,76 @@ FROM comp
 """
 
 
+def q_dedup_keep_best(spark, sf):
+    """Composed dedup policy: connected components over MinHash-LSH
+    pairs, then keep the highest-quality doc per cluster (window rank
+    on quality desc, doc_id asc — deterministic across engines). The
+    full pipeline a training-data build actually runs: pairs → groups →
+    one keeper per group."""
+    docs = _t(spark, sf, "documents")
+    pairs = T.minhash_lsh_pairs(docs, n_hashes=8, band_size=2)
+    clusters = G.dedup_clusters(pairs)
+    q = T.quality_score(docs).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("quality").alias("best_quality"),
+            "cluster_size",
+        )
+    )
+
+
+_STOPS_L = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_SH_CTE},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+comp AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+sized AS (SELECT doc_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM comp),
+qual AS (
+  SELECT doc_id,
+    floor((least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.5
+           + round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / greatest(length(text), 1), 6) * 0.3
+           + least(round(len(list_filter(string_split(lower(text), ' '),
+                                         x -> x IN ({_STOPS_L})))
+                   / greatest(len(string_split(text, ' ')), 1), 6) * 10.0, 1.0)
+             * 0.2) * 1e6 + 0.5) / 1e6 AS quality
+  FROM documents),
+ranked AS (
+  SELECT cluster_id, s.doc_id, quality, cluster_size,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, s.doc_id) AS rn
+  FROM sized s JOIN qual USING (doc_id))
+SELECT cluster_id, doc_id AS keeper_doc_id, quality AS best_quality, cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_dedup_simhash(spark, sf):
     return T.simhash16(_t(spark, sf, "documents"))
 
@@ -807,6 +913,83 @@ def q_fingerprint(spark, sf):
 SQL_FINGERPRINT = r"""
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM documents
+"""
+
+
+def q_sample_hash_mod(spark, sf):
+    """Deterministic 1-in-16 corpus sample keyed on a content-stable
+    hash (md5-prefix int of doc_id) — the reproducible alternative to
+    rand()-sampling for train/eval splits: the same doc lands in the
+    same split on every run, every engine, at any parallelism. Pure
+    narrow map + filter; the predicate pushes to the scan."""
+    docs = _t(spark, sf, "documents")
+    h = T.md5i(F.col("doc_id").cast("string"))
+    return docs.filter(F.pmod(h, F.lit(16)) == 0).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+SQL_SAMPLE_HASH_MOD = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE {_MD5I.format(x="cast(doc_id as varchar)")} % 16 = 0
+"""
+
+
+def q_pii_scrub(spark, sf):
+    """PII/noise scrubbing pass: redact email-shaped tokens then runs
+    of digits (order matters — emails may contain digits). Pure JVM
+    regexp_replace; at 100 TB this is a narrow map with zero shuffle."""
+    docs = _t(spark, sf, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+", "<email>"
+        ),
+        r"[0-9]+",
+        "<num>",
+    )
+    return docs.select(
+        "doc_id", scrubbed.alias("clean_text"), F.length(scrubbed).alias("clean_len")
+    )
+
+
+SQL_PII_SCRUB = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+',
+                                '<email>', 'g'),
+                 '[0-9]+', '<num>', 'g') AS clean_text,
+  length(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+',
+                                       '<email>', 'g'),
+                        '[0-9]+', '<num>', 'g')) AS clean_len
+FROM documents
+"""
+
+
+def q_source_percentiles(spark, sf):
+    """Exact interpolated percentiles of document length per source —
+    Spark's percentile() and DuckDB's quantile_cont() share the linear
+    interpolation definition, so the twin check is exact to rounding.
+    (At 100 TB you'd switch to percentile_approx / t-digest; the exact
+    form is the oracle-checkable baseline.)"""
+    docs = _t(spark, sf, "documents")
+    pct = F.expr("percentile(n_chars, array(0.5, 0.9))")
+    return (
+        docs.groupBy("source")
+        .agg(pct.alias("p"), F.count("*").alias("n_docs"))
+        .select(
+            "source",
+            F.round(F.col("p")[0], 6).alias("p50_chars"),
+            F.round(F.col("p")[1], 6).alias("p90_chars"),
+            "n_docs",
+        )
+    )
+
+
+SQL_SOURCE_PERCENTILES = """
+SELECT source,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       count(*) AS n_docs
+FROM documents GROUP BY source
 """
 
 
@@ -1119,6 +1302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "join_orders_customers": q_join_orders_customers,
     "salted_join_skew": q_salted_join_skew,
+    "global_topk_two_level": q_global_topk_two_level,
     "shipping_priority": q_shipping_priority,
     "rollup_lineitem": q_rollup_lineitem,
     "top_parts_per_brand": q_top_parts_per_brand,
@@ -1127,6 +1311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "near_dup_lsh_exact": q_near_dup_lsh_exact,
@@ -1134,6 +1319,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
+    "sample_hash_mod": q_sample_hash_mod,
+    "pii_scrub": q_pii_scrub,
+    "source_percentiles": q_source_percentiles,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_norms": q_embedding_norms,
@@ -1166,6 +1354,7 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
     "salted_join_skew": SQL_SALTED_JOIN_SKEW,
+    "global_topk_two_level": SQL_GLOBAL_TOPK_TWO_LEVEL,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
@@ -1174,6 +1363,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "near_dup_lsh_exact": SQL_NEAR_DUP_LSH_EXACT,
@@ -1181,6 +1371,9 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY_SCORE,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
+    "sample_hash_mod": SQL_SAMPLE_HASH_MOD,
+    "pii_scrub": SQL_PII_SCRUB,
+    "source_percentiles": SQL_SOURCE_PERCENTILES,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_norms": SQL_EMBEDDING_NORMS,

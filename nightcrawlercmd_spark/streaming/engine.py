@@ -700,5 +700,51 @@ class CrawlEngine:
     def seen(self) -> DataFrame:
         return self._read_seen(self.store.last_round() or 0)
 
+    def lineage(self) -> DataFrame:
+        """Per-partition lineage (north_rule): for every pending bucket,
+        the round whose write produced its current on-disk state — the
+        bucket-level provenance the merge-on-read reader resolves
+        against. Rows: (pbucket, written_round, as_of_round)."""
+        last = self.store.last_round() or 0
+        meta = self.store.meta(last)
+        manifest = {int(k): int(v) for k, v in meta["pending_manifest"].items()}
+        rows = [
+            {"pbucket": b, "written_round": r, "as_of_round": last}
+            for b, r in sorted(manifest.items())
+        ]
+        schema = "pbucket int, written_round int, as_of_round int"
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    def round_metrics(self) -> DataFrame:
+        """Per-round crawl metrics from the commit markers (observed
+        during the writes — zero extra jobs at crawl time): fetched,
+        ok_200, redirects, errors, images_decoded, sum_resp_ms, plus
+        frontier accounting. The ops-dashboard twin of crawl_monitor."""
+        rows = []
+        for r in self.store.committed_rounds():
+            if r == 0:
+                continue
+            m = self.store.meta(r)
+            met = m.get("metrics", {})
+            rows.append(
+                {
+                    "round": r,
+                    "fetched": int(m.get("fetched_round", 0)),
+                    "ok_200": int(met.get("ok_200", 0)),
+                    "redirects": int(met.get("redirects", 0)),
+                    "errors": int(met.get("errors", 0)),
+                    "images_decoded": int(met.get("images_decoded", 0)),
+                    "sum_resp_ms": int(met.get("sum_resp_ms", 0)),
+                    "pending_after": int(m.get("pending", 0)),
+                    "pending_rewritten": int(m.get("pending_rewritten", 0)),
+                }
+            )
+        schema = (
+            "round int, fetched bigint, ok_200 bigint, redirects bigint, "
+            "errors bigint, images_decoded bigint, sum_resp_ms bigint, "
+            "pending_after bigint, pending_rewritten bigint"
+        )
+        return self.spark.createDataFrame(rows, schema=schema)
+
     def pages(self) -> DataFrame:
         return self.store.read_appends(self.spark, "pages", self.store.last_round() or 0)

@@ -161,6 +161,40 @@ def user_sessions_stream(
     )
 
 
+def stream_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint: str,
+    schema,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "30 minutes",
+    query_name: str = "dedup_stream",
+):
+    """Streaming dedup with bounded state: emit the first occurrence of
+    each key, drop re-deliveries arriving within the watermark.
+    ``dropDuplicatesWithinWatermark`` expires key state once the
+    watermark passes, so state size is O(keys per watermark window) —
+    the form that survives an unbounded stream, unlike plain
+    ``dropDuplicates`` whose state grows forever. This is the streaming
+    twin of the engine's URL-seen anti-join (a re-announced URL inside
+    the redelivery window is dropped exactly once)."""
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+    )
+    return (
+        src.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def events_windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin — the oracle for the streaming job."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(

@@ -106,3 +106,33 @@ def test_round_capacity_parity_with_links(spark, tmp_path_factory):
         r["canon_url"]: (r["first_round"], r["depth"]) for r in eng.seen().collect()
     }
     assert got_seen == sim.seen
+
+
+def test_lineage_and_round_metrics_accessors(spark, tmp_path_factory):
+    """north_rule: "per-partition lineage + metrics" — lineage() maps
+    every pending bucket to the round that wrote its on-disk state and
+    agrees with the commit manifest; round_metrics() carries the
+    write-time observed counters for every committed round."""
+    eng = _engine(spark, tmp_path_factory)
+    store = eng.store
+    last = store.last_round()
+    manifest = {int(k): int(v) for k, v in store.meta(last)["pending_manifest"].items()}
+
+    lin = {r["pbucket"]: r["written_round"] for r in eng.lineage().collect()}
+    assert lin == manifest
+    assert all(r["as_of_round"] == last for r in eng.lineage().collect())
+
+    met = {r["round"]: r for r in eng.round_metrics().collect()}
+    rounds = [r for r in store.committed_rounds() if r > 0]
+    assert sorted(met) == rounds
+    for r in rounds:
+        m = store.meta(r)
+        assert met[r]["fetched"] == m.get("fetched_round", 0)
+        assert met[r]["pending_after"] == m.get("pending", 0)
+        # fetched = ok + redirects + errors partition (synthetic world
+        # never 404s: every dequeued URL resolves or errors)
+        assert (
+            met[r]["ok_200"] + met[r]["redirects"] + met[r]["errors"]
+            <= met[r]["fetched"]
+        )
+    assert sum(x["fetched"] for x in met.values()) == store.meta(last)["fetched_total"]

@@ -9,6 +9,7 @@ from nightcrawlercmd_spark.streaming.jobs import (
     crawl_monitor,
     events_windowed_counts_batch,
     events_windowed_counts_stream,
+    stream_dedup,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -103,3 +104,27 @@ def test_crawl_monitor_stateful_across_batches(spark, tmp_path):
     assert got == want
     # at least one host saw multiple micro-batches (state actually carried)
     assert any(r["batches"] > 1 for r in rows)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivered event inside the
+    watermark window is emitted exactly once; state is bounded by the
+    watermark (this is the streaming twin of the URL-seen anti-join)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "src")
+    # file 1: the full event log; file 2: a redelivery of every 3rd
+    # event with identical event_id and ts (inside any watermark)
+    ev.coalesce(1).write.parquet(src)
+    dups = ev.filter(F.col("event_id") % 3 == 0)
+    dups.coalesce(1).write.mode("append").parquet(src)
+    q = stream_dedup(
+        spark, src, str(tmp_path / "ckpt"), ev.schema, ("event_id",),
+        watermark="30 minutes", query_name="dedup_t",
+    )
+    q.awaitTermination(120)
+    got = [r["event_id"] for r in spark.sql("select event_id from dedup_t").collect()]
+    want = {r["event_id"] for r in ev.select("event_id").distinct().collect()}
+    assert len(got) == len(set(got)) == len(want)  # once each, no dup rows
+    assert set(got) == want
