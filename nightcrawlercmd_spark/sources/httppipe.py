@@ -53,14 +53,92 @@ def parse_raw_request(text: str, default_host: str = "localhost") -> RawRequest:
     return RawRequest(method=method, path=path, version=version, headers=headers, body=body)
 
 
-def write_xlsx(df, path: str) -> None:
-    """DNS-report Excel sink (O9) — gated: raises unless an xlsx
-    writer library is installed (none ships in this sandbox)."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "xlsx sink needs openpyxl/xlsxwriter (not available offline); "
-            "use the CSV sink (plans/reports.run_report_suite) instead"
-        ) from exc
-    df.toPandas().to_excel(path, index=False)
+def _col_letter(i: int) -> str:
+    """0-based column index → A, B, …, Z, AA, …"""
+    s = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        s = chr(ord("A") + rem) + s
+    return s
+
+
+_XLSX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType='
+    '"application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    "</Types>"
+)
+_XLSX_ROOT_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+_XLSX_WB_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+
+def write_xlsx(df, path: str, sheet_name: str = "Report") -> None:
+    """DNS-report Excel sink (O9; reference /root/reference/mainDNS.go:122-143
+    via tealeg/xlsx). Implemented from scratch against the public
+    ECMA-376 SpreadsheetML package layout — a zip of five XML parts
+    with inline-string cells — so no external xlsx library is needed.
+
+    Reports are small by construction (wordlist × domain grids), so a
+    driver-side collect matches the reference's in-memory workbook;
+    at data scale you'd use the sharded CSV sink instead (xlsx is
+    inherently a single file)."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    header = list(df.columns)
+    rows = [header] + [[row[c] for c in header] for row in df.collect()]
+
+    def cell(r: int, c: int, v) -> str:
+        ref = f"{_col_letter(c)}{r + 1}"
+        if v is None:
+            return f'<c r="{ref}"/>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{escape(str(v))}</t></is></c>"
+        )
+
+    body = "".join(
+        f'<row r="{ri + 1}">' + "".join(cell(ri, ci, v) for ci, v in enumerate(row)) + "</row>"
+        for ri, row in enumerate(rows)
+    )
+    sheet_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{body}</sheetData></worksheet>"
+    )
+    workbook_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        z.writestr("_rels/.rels", _XLSX_ROOT_RELS)
+        z.writestr("xl/workbook.xml", workbook_xml)
+        z.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
