@@ -142,6 +142,16 @@ class EngineConfig:
     # construction, independent of how activity spreads over hosts.
     pending_buckets: int = 16
     pending_compact_every: int = 8
+    # seen_base is written partitioned by sbucket = url_hash mod
+    # seen_buckets; once fetched_total exceeds seen_prune_min_total the
+    # per-round exact anti-join reads ONLY the partitions holding the
+    # round's bloom-positive suspects (partition-pruned scan) instead
+    # of the whole seen table. Below the threshold the extra
+    # bucket-list job isn't worth its fixed cost (the table is tiny);
+    # at the 10^10 design point the pruned read is the difference
+    # between O(suspect buckets) and O(all history) I/O per round.
+    seen_buckets: int = 64
+    seen_prune_min_total: int = 5_000_000
 
 
 def seed_udf():
@@ -301,10 +311,23 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ seen ----
 
-    def _read_seen(self, upto_round: int) -> DataFrame:
+    def _sbucket(self, col):
+        return F.pmod(col, F.lit(self.cfg.seen_buckets)).cast("int")
+
+    def _read_seen(
+        self, upto_round: int, bucket_filter: list[int] | None = None
+    ) -> DataFrame:
         """seen = latest compacted base + the deltas after it. Without
         compaction the per-round anti-join would read O(rounds) delta
-        dirs on long crawls (SURVEY.md §7.3.5 growth concern)."""
+        dirs on long crawls (SURVEY.md §7.3.5 growth concern).
+
+        ``bucket_filter`` prunes the read to the given sbucket
+        partitions: the base is written ``partitionBy(sbucket)`` so the
+        filter becomes a PartitionFilter on the scan (directories never
+        opened); deltas (small, recent) compute sbucket on the fly.
+        Bases written before the partitioned layout lack the column and
+        are read whole — compatible, just unpruned until the next
+        compaction rewrites them."""
         base_round = -1
         for r in reversed(self.store.committed_rounds()):
             if r > upto_round:
@@ -314,17 +337,37 @@ class CrawlEngine:
                 break
         parts = []
         if base_round >= 0 and self.store.exists("seen_base", base_round):
-            parts.append(self.store.read_snapshot(self.spark, "seen_base", base_round))
+            base = self.store.read_snapshot(self.spark, "seen_base", base_round)
+            if bucket_filter is not None and "sbucket" in base.columns:
+                base = base.filter(F.col("sbucket").isin(bucket_filter))
+            parts.append(base.drop("sbucket"))
         for r in self.store.committed_rounds():
             if base_round < r <= upto_round and self.store.exists("seen", r):
-                parts.append(self.store.read_snapshot(self.spark, "seen", r))
+                d = self.store.read_snapshot(self.spark, "seen", r)
+                if bucket_filter is not None:
+                    d = d.filter(
+                        self._sbucket(F.col("url_hash")).isin(bucket_filter)
+                    )
+                parts.append(d)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
 
+    def _suspect_buckets(self, suspects: DataFrame) -> list[int]:
+        """Distinct sbuckets of the round's bloom-positive suspects —
+        bounded by cfg.seen_buckets values, small by construction."""
+        rows = (
+            suspects.select(self._sbucket(F.col("url_hash")).alias("sb"))
+            .distinct()
+            .collect()
+        )
+        return sorted(r["sb"] for r in rows)
+
     def _maybe_compact_seen(self, r: int) -> int | None:
-        """Every K rounds, rewrite the union of deltas as one base."""
+        """Every K rounds, rewrite the union of deltas as one base,
+        partitioned by sbucket so later rounds can partition-prune
+        their exact-probe reads."""
         cfg = self.cfg
         if not cfg.compact_seen_every or r % cfg.compact_seen_every != 0:
             return None
@@ -333,8 +376,12 @@ class CrawlEngine:
         full = self._read_seen(r - 1)
         if self.store.exists("seen", r):
             full = full.unionByName(self.store.read_snapshot(self.spark, "seen", r))
-        self.store.write_snapshot(
-            full.repartition(cfg.fetch_tasks, "url_hash"), "seen_base", r
+        bucketed = full.withColumn("sbucket", self._sbucket(F.col("url_hash")))
+        self.store.write_bucketed(
+            bucketed.repartition(cfg.fetch_tasks, "sbucket", "url_hash"),
+            "seen_base",
+            r,
+            bucket_col="sbucket",
         )
         return r
 
@@ -519,7 +566,6 @@ class CrawlEngine:
             # only redirect Location targets (mainCrawler.go:164-173)
             link_src = pages.filter(F.col("status_code").between(300, 307))
         cands = enqueue_rows(link_src, self.robots, scope_hosts, r)
-        seen = self._read_seen(r - 1)
         if cfg.use_bloom:
             # persist: the bloom split consumes `tagged` twice (fresh +
             # suspects) — without the cache the extract/dedupe pipeline
@@ -532,14 +578,24 @@ class CrawlEngine:
                 self._ensure_bloom(r - 1)
                 tagged = bloom_partition_df(cands, bc=self._bloom_broadcast()).persist()
             fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            suspects = (
-                tagged.filter(F.col("maybe_seen"))
-                .drop("maybe_seen")
-                .join(seen.select("url_hash"), "url_hash", "left_anti")
+            raw_suspects = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            # exact-probe read: once the crawl is large, prune the seen
+            # scan to the partitions holding this round's suspects (the
+            # bucket list costs one small job against the cached tagged
+            # set; below the threshold the whole table is cheaper)
+            if fetched_total >= cfg.seen_prune_min_total:
+                seen = self._read_seen(
+                    r - 1, bucket_filter=self._suspect_buckets(raw_suspects)
+                )
+            else:
+                seen = self._read_seen(r - 1)
+            suspects = raw_suspects.join(
+                seen.select("url_hash"), "url_hash", "left_anti"
             )
             new = fresh.unionByName(suspects)
         else:
             tagged = None
+            seen = self._read_seen(r - 1)
             new = cands.join(seen.select("url_hash"), "url_hash", "left_anti")
         new = _with_salt_cols(new, cfg.n_salts).select(*PENDING_COLS)
         # the seen delta carries the full pending shape (lineage incl.) so

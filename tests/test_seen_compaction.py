@@ -50,3 +50,31 @@ def test_resume_across_compaction_boundary(spark, tmp_path):
     a = [(r["round"], r["seq"], r["canon_url"]) for r in second.crawl_log().collect()]
     b = [(r["round"], r["seq"], r["canon_url"]) for r in full.crawl_log().collect()]
     assert a == b
+
+
+def test_bucket_pruned_seen_probe_is_exact(spark, tmp_path):
+    """Force the partition-pruned exact probe on from round 1
+    (seen_prune_min_total=0, 8 sbuckets, compaction every 2 rounds):
+    the crawl log and seen set must still match the sequential oracle
+    exactly — pruning may only skip partitions that cannot contain a
+    suspect, never change the answer — and the compacted base must be
+    laid out as sbucket= partition dirs."""
+    import os
+
+    eng = CrawlEngine(
+        spark,
+        EngineConfig(state_dir=str(tmp_path / "p"), world=WORLD, max_rounds=9,
+                     fetch_tasks=4, compact_seen_every=2,
+                     seen_buckets=8, seen_prune_min_total=0),
+    )
+    eng.run()
+    sim = simulate(WORLD, max_rounds=9, default_budget=4)
+    got_log = [
+        (r["round"], r["seq"], r["canon_url"]) for r in eng.crawl_log().collect()
+    ]
+    assert got_log == [(r, s, u) for r, s, u, _ in sim.log]
+    assert {r["canon_url"] for r in eng.seen().collect()} == set(sim.seen)
+    base_round = eng.store.meta(eng.store.last_round())["seen_base_round"]
+    base_dir = os.path.join(eng.store.root, "seen_base", f"round={base_round}")
+    parts = [p for p in os.listdir(base_dir) if p.startswith("sbucket=")]
+    assert parts, "compacted seen base must be sbucket-partitioned"
