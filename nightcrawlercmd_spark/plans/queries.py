@@ -916,6 +916,58 @@ FROM documents
 """
 
 
+def q_tfidf_top_terms(spark, sf):
+    """TF-IDF top-3 terms per document: term frequency per (doc, word),
+    document frequency per word (one shuffle each, both map-side
+    combinable), idf = ln(N / df) with the corpus size N folded in as a
+    literal-free cross-joined 1-row aggregate (broadcast), window
+    top-3 per doc with a deterministic tie-break. Rounding to 6 dp
+    before the rank so both engines rank identical values."""
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("word")
+    ).filter(F.length("word") > 0)
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tf", "df", "tfidf", F.col("rn").alias("rank"))
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+  FROM documents),
+w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word, tf, df,
+         round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, word) AS rank
+  FROM scored)
+SELECT doc_id, word, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def q_sample_hash_mod(spark, sf):
     """Deterministic 1-in-16 corpus sample keyed on a content-stable
     hash (md5-prefix int of doc_id) — the reproducible alternative to
@@ -1319,6 +1371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "sample_hash_mod": q_sample_hash_mod,
     "pii_scrub": q_pii_scrub,
     "source_percentiles": q_source_percentiles,
@@ -1371,6 +1424,7 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY_SCORE,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "sample_hash_mod": SQL_SAMPLE_HASH_MOD,
     "pii_scrub": SQL_PII_SCRUB,
     "source_percentiles": SQL_SOURCE_PERCENTILES,
