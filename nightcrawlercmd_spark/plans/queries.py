@@ -527,6 +527,26 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_cube_orders(spark, sf):
+    """CUBE aggregate (every grouping-set combination) over order
+    status × priority — one shuffle, Expand feeds partial aggregation
+    so each input row is read once regardless of set count."""
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_top_parts_per_brand(spark, sf):
     """Window top-k per group over a dimension table (dense ranking by
     retail price; the per-host dequeue shape on relational data)."""
@@ -1357,6 +1377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_topk_two_level": q_global_topk_two_level,
     "shipping_priority": q_shipping_priority,
     "rollup_lineitem": q_rollup_lineitem,
+    "cube_orders": q_cube_orders,
     "top_parts_per_brand": q_top_parts_per_brand,
     "conditional_agg_events": q_conditional_agg_events,
     "sessionize_events": q_sessionize_events,
@@ -1410,6 +1431,7 @@ ORACLES: dict[str, str] = {
     "global_topk_two_level": SQL_GLOBAL_TOPK_TWO_LEVEL,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "cube_orders": SQL_CUBE_ORDERS,
     "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
     "conditional_agg_events": SQL_CONDITIONAL_AGG_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
