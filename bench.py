@@ -12,7 +12,9 @@ Environment:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores for the main run (default 32)
   NCS_BENCH_SCALING    "0" to skip the second (low-parallelism) crawl
-  NCS_BENCH_MIDPAIR    "0" to skip the local[4]-vs-local[16] raw pair
+  NCS_BENCH_MIDPAIR    "0" to skip the adaptive under-ceiling raw pair
+                       (probes the pure-CPU 4-vs-16 ceiling, measures
+                       local[4]/local[16] or local[2]/local[8])
   NCS_BENCH_GROWTH     "0" to skip the frontier-growth micro-bench
   NCS_BENCH_HOSTS / NCS_BENCH_PAGES / NCS_BENCH_ROUNDS   world size knobs
 
@@ -52,6 +54,9 @@ BENCH_QUERIES = [
     "quality_score",
     "token_count",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "dedup_clusters",
+    "tfidf_top_terms",
     "embedding_norms",
     "pricing_summary",
     "join_orders_customers",

@@ -41,7 +41,12 @@ def connected_components(
     across runs and engines.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # checkpoint the symmetrized edge list once: every sweep joins
+    # against it, and without this the upstream pipeline (e.g. the
+    # full MinHash-LSH pair derivation) would re-execute per sweep
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
