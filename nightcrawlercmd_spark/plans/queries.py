@@ -936,6 +936,50 @@ FROM documents
 """
 
 
+def q_chunk_documents(spark, sf):
+    """Training-window chunking: split each document's whitespace
+    tokens into 32-token chunks with stride 24 (8-token overlap) — the
+    slice-and-stride pass every LLM pretraining pipeline runs before
+    tokenization. Pure JVM: sequence() generates the starts, slice()
+    cuts the window, one explode, zero shuffle, zero Python."""
+    docs = _t(spark, sf, "documents")
+    size_c, stride = 32, 24
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(0), F.size("w") - 1, F.lit(stride))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"start div {stride}").cast("bigint").alias("chunk_id"),
+            F.array_join(F.slice("w", F.col("start") + 1, size_c), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(size_c), F.size("w") - F.col("start"))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) AS start
+      FROM t WHERE len(w) > 0)
+SELECT doc_id,
+       cast(start // 24 as bigint) AS chunk_id,
+       array_to_string(w[start + 1 : start + 32], ' ') AS chunk_text,
+       cast(least(32, len(w) - start) as int) AS n_tokens
+FROM s
+"""
+
+
 def q_tfidf_top_terms(spark, sf):
     """TF-IDF top-3 terms per document: term frequency per (doc, word),
     document frequency per word (one shuffle each, both map-side
@@ -1392,6 +1436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
+    "chunk_documents": q_chunk_documents,
     "tfidf_top_terms": q_tfidf_top_terms,
     "sample_hash_mod": q_sample_hash_mod,
     "pii_scrub": q_pii_scrub,
@@ -1446,6 +1491,7 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY_SCORE,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "sample_hash_mod": SQL_SAMPLE_HASH_MOD,
     "pii_scrub": SQL_PII_SCRUB,
