@@ -426,6 +426,33 @@ def q_salted_join_skew(spark, sf):
 SQL_SALTED_JOIN_SKEW = SQL_JOIN_ORDERS_CUSTOMERS
 
 
+def q_salted_agg_two_level(spark, sf):
+    """Skew-proof aggregation: partial-aggregate on (key, salt) first —
+    a hot key's rows spread over 16 reducers — then combine the 16
+    partials per key. Decimal-exact sums make the two-level combine
+    bit-identical to the one-level oracle (doubles would reassociate).
+    This is what saves a groupBy when one key holds 30% of 100 TB."""
+    salts = 16
+    ev = _t(spark, sf, "events").withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(salts)).cast("int")
+    )
+    partial = ev.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pc"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"),
+        F.sum("pv").cast("double").alias("sum_value"),
+    )
+
+
+SQL_SALTED_AGG_TWO_LEVEL = """
+SELECT event_type, count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_global_topk_two_level(spark, sf):
     """Scale-safe global top-k without a single-task global sort: rank
     within hash-salted partitions (parallel), keep each partition's
@@ -1419,6 +1446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_orders_customers": q_join_orders_customers,
     "salted_join_skew": q_salted_join_skew,
     "global_topk_two_level": q_global_topk_two_level,
+    "salted_agg_two_level": q_salted_agg_two_level,
     "shipping_priority": q_shipping_priority,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_orders": q_cube_orders,
@@ -1474,6 +1502,7 @@ ORACLES: dict[str, str] = {
     "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
     "salted_join_skew": SQL_SALTED_JOIN_SKEW,
     "global_topk_two_level": SQL_GLOBAL_TOPK_TWO_LEVEL,
+    "salted_agg_two_level": SQL_SALTED_AGG_TWO_LEVEL,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "cube_orders": SQL_CUBE_ORDERS,
