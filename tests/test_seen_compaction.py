@@ -78,3 +78,16 @@ def test_bucket_pruned_seen_probe_is_exact(spark, tmp_path):
     base_dir = os.path.join(eng.store.root, "seen_base", f"round={base_round}")
     parts = [p for p in os.listdir(base_dir) if p.startswith("sbucket=")]
     assert parts, "compacted seen base must be sbucket-partitioned"
+    # and the pruning reaches the SCAN: the bucket filter must appear
+    # as a PartitionFilter (directories never opened), not a post-scan
+    # predicate
+    import contextlib
+    import io
+
+    pruned = eng._read_seen(eng.store.last_round(), bucket_filter=[1, 3])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("sbucket" in ln and "(1,3)" in ln.replace(" ", "") for ln in pf), pf
