@@ -57,3 +57,35 @@ def test_rerun_completed_crawl_is_noop(spark, tmp_path):
     again = CrawlEngine(spark, _cfg(d, max_rounds=8))
     again.run()
     assert again.store.last_round() == last
+
+
+def test_resume_ignores_uncommitted_partial_round(spark, tmp_path):
+    """Crash mid-round: tables for round k+1 were written but the
+    commit marker was not — resume must treat the crawl as stopped at
+    round k, ignore the orphan dirs, and converge to the same final
+    state as an uninterrupted run (the commit marker, not directory
+    existence, is the truth)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    full_dir, part_dir = str(tmp_path / "full2"), str(tmp_path / "part2")
+    full = CrawlEngine(spark, _cfg(full_dir, max_rounds=8))
+    full.run()
+
+    first = CrawlEngine(spark, _cfg(part_dir, max_rounds=3))
+    first.run()
+    # forge an uncommitted round-4: partial pages + seen dirs with junk
+    for table in ("pages", "seen"):
+        d = os.path.join(part_dir, table, "round=4")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"canon_url": ["http://junk.test/x"], "url_hash": [123]}),
+            os.path.join(d, "junk.parquet"),
+        )
+    second = CrawlEngine(spark, _cfg(part_dir, max_rounds=8))
+    second.run()
+    assert _final_state(second) == _final_state(full)
+    junk = second.crawl_log().filter("canon_url LIKE '%junk.test%'").count()
+    assert junk == 0
