@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 60
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
@@ -39,6 +39,13 @@ def connected_components(
     in the component — a deterministic canonical representative, so
     downstream "keep the representative, drop the rest" is stable
     across runs and engines.
+
+    The min label travels one hop per sweep, so convergence needs up to
+    diameter(component) sweeps. Raises ``RuntimeError`` if ``max_iter``
+    sweeps exhaust before the fixpoint — returning partial labels would
+    silently split one physical cluster into several, letting
+    duplicates survive dedup; long-chain graphs should raise
+    ``max_iter`` or switch to star alternation.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # checkpoint the symmetrized edge list once: every sweep joins
@@ -53,6 +60,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         msgs = sym.alias("e").join(
             labels.alias("l"), F.col("e.a") == F.col("l.node")
@@ -73,6 +81,11 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "sweeps (component diameter exceeds it); raise max_iter"
+        )
     return labels
 
 

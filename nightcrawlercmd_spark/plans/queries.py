@@ -815,7 +815,7 @@ def q_dedup_keep_best(spark, sf):
     )
 
 
-_STOPS_L = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+_STOPS = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 
 SQL_DEDUP_KEEP_BEST = f"""
 WITH RECURSIVE {_SH_CTE},
@@ -845,7 +845,7 @@ qual AS (
            + round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                    / greatest(length(text), 1), 6) * 0.3
            + least(round(len(list_filter(string_split(lower(text), ' '),
-                                         x -> x IN ({_STOPS_L})))
+                                         x -> x IN ({_STOPS})))
                    / greatest(len(string_split(text, ' ')), 1), 6) * 10.0, 1.0)
              * 0.2) * 1e6 + 0.5) / 1e6 AS quality
   FROM documents),
@@ -907,7 +907,6 @@ def q_langid(spark, sf):
     return T.langid(_t(spark, sf, "documents"))
 
 
-_STOPS = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 SQL_LANGID = f"""
 SELECT doc_id,
   round(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOPS})))
@@ -1017,7 +1016,7 @@ def q_tfidf_top_terms(spark, sf):
     docs = _t(spark, sf, "documents")
     words = docs.select(
         "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("word")
-    ).filter(F.length("word") > 0)
+    )
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -1040,10 +1039,9 @@ def q_tfidf_top_terms(spark, sf):
 
 
 SQL_TFIDF_TOP_TERMS = f"""
-WITH w AS (
+WITH w2 AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
   FROM documents),
-w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
 tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY doc_id, word),
 dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY word),
 n AS (SELECT count(*) AS n_docs FROM documents),

@@ -101,6 +101,8 @@ def write_xlsx(df, path: str, sheet_name: str = "Report") -> None:
     driver-side collect matches the reference's in-memory workbook;
     at data scale you'd use the sharded CSV sink instead (xlsx is
     inherently a single file)."""
+    import decimal
+    import math
     import zipfile
     from xml.sax.saxutils import escape
 
@@ -113,8 +115,18 @@ def write_xlsx(df, path: str, sheet_name: str = "Report") -> None:
             return f'<c r="{ref}"/>'
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            # NaN/±Inf are not valid SpreadsheetML number lexical forms
+            # — emit them as text rather than a corrupt <v>
+            if not math.isfinite(v):
+                return (
+                    f'<c r="{ref}" t="inlineStr"><is><t>{escape(repr(v))}</t>'
+                    "</is></c>"
+                )
             return f'<c r="{ref}"><v>{v!r}</v></c>'
+        if isinstance(v, (int, decimal.Decimal)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        # everything else (strings, timestamps, binary reprs) → text
         return (
             f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
             f"{escape(str(v))}</t></is></c>"

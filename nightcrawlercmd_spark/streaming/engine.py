@@ -338,7 +338,17 @@ class CrawlEngine:
         parts = []
         if base_round >= 0 and self.store.exists("seen_base", base_round):
             base = self.store.read_snapshot(self.spark, "seen_base", base_round)
-            if bucket_filter is not None and "sbucket" in base.columns:
+            # prune ONLY if the base was bucketed with the CURRENT
+            # modulus (recorded in its compaction round's commit meta):
+            # a resume with a different seen_buckets would otherwise
+            # filter old-modulus partitions with new-modulus bucket ids
+            # and silently miss seen URLs
+            base_mod = self.store.meta(base_round).get("seen_buckets")
+            if (
+                bucket_filter is not None
+                and "sbucket" in base.columns
+                and base_mod == self.cfg.seen_buckets
+            ):
                 base = base.filter(F.col("sbucket").isin(bucket_filter))
             parts.append(base.drop("sbucket"))
         for r in self.store.committed_rounds():
@@ -670,6 +680,10 @@ class CrawlEngine:
                 "fetched_round": n_fetched,
                 "metrics": metrics,
                 "seen_base_round": base,
+                # modulus in effect this round — the pruned read checks
+                # it against the base's compaction round before trusting
+                # the on-disk sbucket partition values
+                "seen_buckets": cfg.seen_buckets,
                 "filters_base_round": fbase,
                 # O(delta) evidence: pending rows rewritten this round
                 # (0 except compaction rounds) — the bench's
@@ -741,7 +755,10 @@ class CrawlEngine:
         if df is None:
             return None
         df = df.select(
-            F.regexp_extract(F.input_file_name(), r"round=(\d+)", 1)
+            # anchored to the file's own partition dir (…/round=K/<file>)
+            # so a state_dir path that itself contains "round=" can't
+            # shadow the real partition value
+            F.regexp_extract(F.input_file_name(), r"round=(\d+)/[^/]+$", 1)
             .cast("int")
             .alias("round"),
             "canon_url", "status_code", "host", "depth", "priority",

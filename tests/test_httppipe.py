@@ -69,3 +69,24 @@ def test_xlsx_sink_round_trip(spark, tmp_path):
     assert grid[0] == ["domain", "records", "score", "note"]
     assert grid[1] == ["found.test", "4", "0.25", "<&'\"> ok"]
     assert grid[2] == ["missing.test", "0", None, "x"]
+
+
+def test_xlsx_nonfinite_and_decimal_cells(spark, tmp_path):
+    """NaN/Inf doubles must not produce invalid <v> number cells (they
+    become text); ints/Decimals stay numeric."""
+    import math
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, 0.5)], "k int, v double"
+    )
+    path = str(tmp_path / "n.xlsx")
+    write_xlsx(df, path)
+    with zipfile.ZipFile(path) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "<v>nan</v>" not in sheet and "<v>inf</v>" not in sheet
+    root = ET.fromstring(sheet)  # still well-formed XML
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    numeric = [v.text for v in root.findall(".//m:c[m:v]/m:v", ns)]
+    assert "0.5" in numeric  # finite doubles stay numeric cells

@@ -91,3 +91,35 @@ def test_bucket_pruned_seen_probe_is_exact(spark, tmp_path):
     plan = buf.getvalue()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("sbucket" in ln and "(1,3)" in ln.replace(" ", "") for ln in pf), pf
+
+
+def test_resume_with_different_seen_buckets_is_exact(spark, tmp_path):
+    """Resuming with a different seen_buckets modulus must NOT trust
+    the old base's on-disk sbucket partition values (pruning with
+    new-modulus bucket ids against old-modulus partitions would
+    silently miss seen URLs → re-fetch duplicates). The read falls back
+    to the whole base until the next compaction rewrites it."""
+    def cfg(rounds, buckets):
+        return EngineConfig(
+            state_dir=str(tmp_path / "m"), world=WORLD, max_rounds=rounds,
+            fetch_tasks=4, compact_seen_every=2,
+            seen_buckets=buckets, seen_prune_min_total=0,
+        )
+
+    first = CrawlEngine(spark, cfg(4, buckets=8))
+    first.run()  # compactions at 2 and 4 with modulus 8
+    second = CrawlEngine(spark, cfg(9, buckets=4))  # resume, new modulus
+    second.run()
+
+    full = CrawlEngine(
+        spark,
+        EngineConfig(state_dir=str(tmp_path / "f"), world=WORLD, max_rounds=9,
+                     fetch_tasks=4, compact_seen_every=2),
+    )
+    full.run()
+    a = [(r["round"], r["seq"], r["canon_url"]) for r in second.crawl_log().collect()]
+    b = [(r["round"], r["seq"], r["canon_url"]) for r in full.crawl_log().collect()]
+    assert a == b
+    got = sorted(r["canon_url"] for r in second.seen().collect())
+    want = sorted(r["canon_url"] for r in full.seen().collect())
+    assert got == want  # no duplicates, no misses
