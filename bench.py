@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "tfidf_top_terms",
     "embedding_norms",
+    "repetition_filter",
+    "asof_attribution",
     "pricing_summary",
     "join_orders_customers",
     "window_dequeue",

@@ -25,6 +25,7 @@ from ..operators import annsearch as ANN
 from ..operators import graphs as G
 from ..operators import textops as T
 from ..operators import multimodal as MM
+from ..operators import timeseries as TS
 
 WORD_RE = T.WORD_RE
 
@@ -1428,6 +1429,361 @@ def q_httpscan_matrix(spark, sf):
 # Registry
 # =====================================================================
 
+# =====================================================================
+# Training-data pipeline: corpus curation (repetition / contamination /
+# sampling / packing / collocations)
+# =====================================================================
+
+def q_repetition_filter(spark, sf):
+    """Gopher-style repetition quality gate: duplicate-word and
+    duplicate-bigram fractions per document, keep = both under
+    threshold. All array-native (split / array_distinct / zip_with) —
+    zero explode, zero shuffle, scales as a pure map over the scan."""
+    docs = _t(spark, sf, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    d = docs.select("doc_id", w.alias("w"))
+    n = F.size("w")
+    bi = F.zip_with(
+        F.slice(F.col("w"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("w"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    d = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        (n - F.size(F.array_distinct("w"))).alias("dup_w"),
+        bi.alias("bi"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    dwf = r6(F.col("dup_w") / F.greatest(F.col("n_words"), F.lit(1)))
+    dbf = r6(
+        (F.size("bi") - F.size(F.array_distinct("bi")))
+        / F.greatest(F.size("bi"), F.lit(1))
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        dwf.alias("dup_word_frac"),
+        dbf.alias("dup_bigram_frac"),
+        ((dwf < 0.2) & (dbf < 0.1)).alias("keep"),
+    )
+
+
+SQL_REPETITION_FILTER = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+f AS (SELECT doc_id, len(w) AS n_words,
+        len(w) - len(list_distinct(w)) AS dup_w,
+        [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)] AS bi
+      FROM t),
+g AS (SELECT doc_id, cast(n_words as bigint) AS n_words,
+        floor(dup_w / greatest(n_words, 1) * 1e6 + 0.5) / 1e6 AS dup_word_frac,
+        floor((len(bi) - len(list_distinct(bi))) / greatest(len(bi), 1) * 1e6
+              + 0.5) / 1e6 AS dup_bigram_frac
+      FROM f)
+SELECT doc_id, n_words, dup_word_frac, dup_bigram_frac,
+       (dup_word_frac < 0.2 AND dup_bigram_frac < 0.1) AS keep
+FROM g
+"""
+
+
+def q_contamination_overlap(spark, sf):
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct 3-word shingles that appear in a held-out benchmark set
+    (synthetic: doc_id % 97 == 0). The benchmark shingle set is small
+    by construction → broadcast hash join against the corpus shingle
+    table; no shuffle of the big side beyond the per-doc groupBy."""
+    docs = _t(spark, sf, "documents")
+    sh = T.shingle_table(docs, k=3)
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = sh.filter(F.col("doc_id") % 97 != 0)
+    agg = (
+        ev.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+    frac = F.floor(
+        F.col("n_hits") / F.greatest(F.col("n_shingles"), F.lit(1)) * 1e6
+        + F.lit(0.5)
+    ) / 1e6
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        frac.alias("contam_frac"),
+        (frac >= 0.2).alias("contaminated"),
+    )
+
+
+SQL_CONTAMINATION_OVERLAP = f"""
+WITH {_SH_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+agg AS (SELECT ev.doc_id, cast(count(*) as bigint) AS n_shingles,
+          cast(coalesce(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 END), 0)
+               as bigint) AS n_hits
+        FROM ev LEFT JOIN bench b USING (shingle) GROUP BY ev.doc_id)
+SELECT doc_id, n_shingles, n_hits,
+       floor(n_hits / greatest(n_shingles, 1) * 1e6 + 0.5) / 1e6 AS contam_frac,
+       (floor(n_hits / greatest(n_shingles, 1) * 1e6 + 0.5) / 1e6 >= 0.2)
+           AS contaminated
+FROM agg
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Stratified 20% corpus sample with exact per-source quotas:
+    deterministic hash order within each source, row_number ≤
+    ceil(n/5) (integer arithmetic — no float quota boundary). One
+    shuffle on source; for the quota-free variant at hot sources see
+    sample_hash_mod."""
+    docs = _t(spark, sf, "documents")
+    h = T.md5i(F.col("doc_id").cast("string"))
+    d = docs.select("source", "doc_id", h.alias("_h"))
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("_h", "doc_id"))
+    n_src = F.count("*").over(Window.partitionBy("source"))
+    return (
+        d.withColumn("rn", rn)
+        .withColumn("n_src", n_src)
+        .filter(F.col("rn") <= F.expr("(n_src + 4) div 5"))
+        .select("source", "doc_id", F.col("rn").cast("bigint").alias("pick_rank"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH d AS (SELECT source, doc_id,
+             {_MD5I.format(x="cast(doc_id as varchar)")} AS h
+           FROM documents),
+r AS (SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+        count(*) OVER (PARTITION BY source) AS n_src
+      FROM d)
+SELECT source, doc_id, cast(rn as bigint) AS pick_rank
+FROM r WHERE rn <= (n_src + 4) // 5
+"""
+
+
+def q_pack_sequences(spark, sf):
+    """Training-sequence packing: docs are laid into 2048-token bins
+    per source in deterministic hash order — bin id = cumulative
+    tokens before the doc, integer-divided by 2048 (next-fit with
+    overflow; no doc splitting). The window cumsum is one shuffle on
+    source; bin stats are map-side combinable."""
+    docs = _t(spark, sf, "documents")
+    h = T.md5i(F.col("doc_id").cast("string"))
+    d = docs.select(
+        "source",
+        "doc_id",
+        h.alias("_h"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("cum_before", F.col("cum") - F.col("n_tok"))
+        .withColumn("bin_id", F.expr("cum_before div 2048").cast("bigint"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (SELECT source, doc_id,
+             {_MD5I.format(x="cast(doc_id as varchar)")} AS h,
+             cast(len(string_split(text, ' ')) as bigint) AS n_tok
+           FROM documents),
+c AS (SELECT source, doc_id, n_tok,
+        sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tok AS cum_before
+      FROM d)
+SELECT source, cast(cum_before // 2048 as bigint) AS bin_id,
+       count(*) AS n_docs, cast(sum(n_tok) as bigint) AS sum_tokens
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_pmi_bigrams(spark, sf):
+    """Collocation mining: top-50 adjacent word pairs by integer-exact
+    PMI lift = cnt_ab·N·10^6 div (cnt_a·cnt_b) (monotone in PMI, no
+    cross-engine log rounding). Bigram and unigram counts are each one
+    map-side-combinable shuffle; the final top-k is a
+    TakeOrderedAndProject, not a full sort."""
+    docs = _t(spark, sf, "documents")
+    warr = T.words(F.lower(F.col("text")))
+    d = docs.select(warr.alias("a"))
+    n1 = F.size("a")
+    uni = (
+        d.select(F.explode("a").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").cast("bigint").alias("total"))
+    pairs = F.zip_with(
+        F.slice(F.col("a"), 1, F.greatest(n1 - 1, F.lit(0))),
+        F.slice(F.col("a"), 2, F.greatest(n1 - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bi = (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= 3)
+    )
+    scored = (
+        bi.join(uni.select(F.col("word").alias("w1"), F.col("cnt").alias("cnt_a")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("cnt").alias("cnt_b")), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lift", F.expr("cnt_ab * total * 1000000 div (cnt_a * cnt_b)"))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    )
+    return (
+        scored.withColumn("rank", rk.cast("bigint"))
+        .filter(F.col("rank") <= 50)
+        .select("w1", "w2", "cnt_ab", "lift", "rank")
+    )
+
+
+SQL_PMI_BIGRAMS = f"""
+WITH t AS (SELECT regexp_extract_all(lower(text), '{WORD_RE}') AS a FROM documents),
+u AS (SELECT unnest(a) AS word FROM t),
+uc AS (SELECT word, count(*) AS cnt FROM u GROUP BY word),
+n AS (SELECT cast(sum(cnt) as bigint) AS total FROM uc),
+b AS (SELECT unnest([a[i] || ' ' || a[i+1]
+                     for i in generate_series(1, len(a) - 1)]) AS bg FROM t),
+bc AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+              count(*) AS cnt_ab
+       FROM b GROUP BY 1, 2),
+scored AS (
+  SELECT w1, w2, cnt_ab,
+         cast(cnt_ab * total * 1000000 // (cnt_a * cnt_b) as bigint) AS lift
+  FROM bc
+  JOIN (SELECT word AS w1, cnt AS cnt_a FROM uc) USING (w1)
+  JOIN (SELECT word AS w2, cnt AS cnt_b FROM uc) USING (w2)
+  CROSS JOIN n
+  WHERE cnt_ab >= 3),
+ranked AS (SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rank
+           FROM scored)
+SELECT w1, w2, cnt_ab, lift, rank FROM ranked WHERE rank <= 50
+"""
+
+
+# =====================================================================
+# Time-series joins (training-pipeline family): as-of + trailing range
+# =====================================================================
+
+def q_asof_attribution(spark, sf):
+    """Backward as-of join — attribute each click to the user's most
+    recent view (ties: latest event_id). Spark has no ASOF JOIN
+    built-in; operators/timeseries.py expresses it as a union-window
+    plan (ONE shuffle on user_id, no range-condition blowup). The
+    DuckDB twin is an independent formulation (nested correlated
+    subqueries), not a re-implementation."""
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = TS.asof_join(
+        clicks,
+        views,
+        on="user_id",
+        ts="ts",
+        payload={"attributed_view": "event_id"},
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_timestamp(F.col("ts")).alias("click_epoch"),
+        "attributed_view",
+    )
+
+
+SQL_ASOF_ATTRIBUTION = """
+SELECT c.event_id AS click_id, c.user_id,
+       cast(floor(epoch(c.ts)) as bigint) AS click_epoch,
+       (SELECT max(v.event_id) FROM events v
+         WHERE v.user_id = c.user_id AND v.event_type = 'view'
+           AND v.ts = (SELECT max(v2.ts) FROM events v2
+                        WHERE v2.user_id = c.user_id
+                          AND v2.event_type = 'view' AND v2.ts <= c.ts))
+         AS attributed_view
+FROM events c WHERE c.event_type = 'click'
+"""
+
+
+def q_range_join_trailing(spark, sf):
+    """Trailing-window range join — per click, count+sum the user's
+    views in the preceding hour. A naive inequality join is a
+    broadcast-nested-loop (O(n·m)); the operator bins both sides to
+    1-hour buckets so it becomes an equi-join on (user, bin) with a
+    2× probe explode, then filters the exact range residual."""
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("value").alias("vvalue"),
+    )
+    out = TS.range_join_trailing(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="vts",
+        window_s=3600,
+        left_id="click_id",
+        aggs=[
+            F.count("*").alias("_n"),
+            F.sum(F.col("vvalue").cast("decimal(18,6)")).alias("_sv"),
+        ],
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_views_1h"),
+        F.coalesce(F.col("_sv"), F.lit(0).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_view_value"),
+    )
+
+
+SQL_RANGE_JOIN_TRAILING = """
+SELECT c.event_id AS click_id, c.user_id,
+       cast(count(v.vts) as bigint) AS n_views_1h,
+       cast(coalesce(sum(cast(v.vvalue as decimal(18,6))), 0) as double)
+           AS sum_view_value
+FROM events c LEFT JOIN (
+  SELECT user_id, ts AS vts, value AS vvalue FROM events
+  WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND v.vts > c.ts - INTERVAL 1 HOUR AND v.vts <= c.ts
+WHERE c.event_type = 'click'
+GROUP BY c.event_id, c.user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "report_wordlist": q_report_wordlist,
     "report_query_keys": q_report_query_keys,
@@ -1465,6 +1821,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "tfidf_top_terms": q_tfidf_top_terms,
     "sample_hash_mod": q_sample_hash_mod,
+    "repetition_filter": q_repetition_filter,
+    "contamination_overlap": q_contamination_overlap,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
+    "pmi_bigrams": q_pmi_bigrams,
+    "asof_attribution": q_asof_attribution,
+    "range_join_trailing": q_range_join_trailing,
     "pii_scrub": q_pii_scrub,
     "source_percentiles": q_source_percentiles,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1521,6 +1884,13 @@ ORACLES: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "sample_hash_mod": SQL_SAMPLE_HASH_MOD,
+    "repetition_filter": SQL_REPETITION_FILTER,
+    "contamination_overlap": SQL_CONTAMINATION_OVERLAP,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "asof_attribution": SQL_ASOF_ATTRIBUTION,
+    "range_join_trailing": SQL_RANGE_JOIN_TRAILING,
     "pii_scrub": SQL_PII_SCRUB,
     "source_percentiles": SQL_SOURCE_PERCENTILES,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

@@ -205,3 +205,83 @@ def events_windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("w.start").alias("win_start"), "event_type", "cnt", "sum_value")
     )
+
+
+ASOF_OUTPUT_SCHEMA = (
+    "click_id bigint, user_id bigint, click_epoch bigint, attributed_view bigint"
+)
+ASOF_STATE_SCHEMA = "last_us bigint, last_id bigint"
+
+
+def _asof_fn(
+    key: Tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_us, last_id = state.get if state.exists else (-1, -1)
+    out = []
+    pdf = pd.concat(list(batches), ignore_index=True)
+    # views sort before clicks at equal ts (a click attributes to a
+    # same-timestamp view), then event_id ascending so the newest view
+    # wins ties
+    pdf["_is_click"] = (pdf["event_type"] == "click").astype(int)
+    pdf = pdf.sort_values(["ts", "_is_click", "event_id"])
+    for r in pdf.itertuples():
+        us = r.ts.value // 1_000  # pandas ns → µs, full fidelity
+        if r.event_type == "view":
+            if us > last_us or (us == last_us and r.event_id > last_id):
+                last_us, last_id = us, int(r.event_id)
+        elif r.event_type == "click":
+            out.append(
+                {
+                    "click_id": int(r.event_id),
+                    "user_id": int(key[0]),
+                    "click_epoch": us // 1_000_000,
+                    "attributed_view": None if last_id < 0 else last_id,
+                }
+            )
+    state.update((last_us, last_id))
+    yield pd.DataFrame(out, columns=["click_id", "user_id", "click_epoch", "attributed_view"])
+
+
+def asof_attribution_stream(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint: str,
+    schema,
+    query_name: str = "asof_stream",
+    max_files_per_trigger: int | None = 1,
+):
+    """Streaming as-of enrichment: attribute each click to the user's
+    most recent view, with the latest-view watermark carried across
+    micro-batches in ``applyInPandasWithState`` (state = one (ts, id)
+    pair per user — O(users), never O(events)). The custom stateful
+    operator the batch twin (plans/queries.q_asof_attribution) cannot
+    express incrementally: a click in batch N attributes to a view
+    seen in batch 1 without ever re-reading batch 1.
+
+    Requires micro-batch boundaries that respect event time per user
+    (files pre-split on timestamp ranges) — the same contract as any
+    log-shipped stream. availableNow + update mode → drains
+    deterministically in tests."""
+    src = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        src = src.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    ev = (
+        src.parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _asof_fn,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -128,3 +128,38 @@ def test_salted_join_spreads_key(spark):
     p = plan_of(Q.q_salted_join_skew(spark, SF))
     assert "_salt" in p  # join key includes the salt column
     assert "CartesianProduct" not in p
+
+
+def test_repetition_filter_is_pure_map(spark):
+    """Gopher repetition metrics are array-native per row: no shuffle,
+    no Python boundary — the whole operator is a map over the scan."""
+    p = plan_of(Q.q_repetition_filter(spark, SF))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_contamination_bench_set_is_broadcast(spark):
+    """The benchmark shingle set joins the corpus side as a broadcast
+    hash join — the big side is never shuffled for the membership
+    probe (the per-doc groupBy is its only exchange)."""
+    p = plan_of(Q.q_contamination_overlap(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_asof_join_single_shuffle_no_range_blowup(spark):
+    """The union-window as-of plan: exactly one hash exchange (the key
+    partitioning for the window) and no nested-loop/cartesian node —
+    the shape that survives a 100× scale-up."""
+    p = plan_of(Q.q_asof_attribution(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange (") == 1  # the window's key partitioning
+
+
+def test_range_join_is_binned_equi_join(spark):
+    """The trailing range join must plan as an equi-join on
+    (key, bin) — never the broadcast-nested-loop Spark produces for a
+    naive inequality join."""
+    p = plan_of(Q.q_range_join_trailing(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "_bin" in p  # bin key participates in the join

@@ -128,3 +128,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     want = {r["event_id"] for r in ev.select("event_id").distinct().collect()}
     assert len(got) == len(set(got)) == len(want)  # once each, no dup rows
     assert set(got) == want
+
+
+def test_asof_attribution_stream_matches_batch(spark, tmp_path):
+    """Stateful streaming as-of == the batch union-window as-of: events
+    split into 4 time-ordered files, one micro-batch each, so a click
+    in a late batch must attribute via state carried from an early
+    batch (never by re-reading it)."""
+    import os
+    import pandas as pd
+
+    from nightcrawlercmd_spark.plans.queries import q_asof_attribution
+    from nightcrawlercmd_spark.streaming.jobs import asof_attribution_stream
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    # pyarrow would write pandas ns-timestamps as TIMESTAMP(NANOS),
+    # which Spark's vectorized reader rejects — down-cast to µs
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    # split on ts boundaries (never inside an equal-ts run) so batch
+    # order respects event time per user
+    cuts = [len(pdf) * i // 4 for i in (1, 2, 3)]
+    bounds = [pdf.ts.iloc[c] for c in cuts]
+    parts = [
+        pdf[pdf.ts <= bounds[0]],
+        pdf[(pdf.ts > bounds[0]) & (pdf.ts <= bounds[1])],
+        pdf[(pdf.ts > bounds[1]) & (pdf.ts <= bounds[2])],
+        pdf[pdf.ts > bounds[2]],
+    ]
+    for i, part in enumerate(parts):
+        p = str(src / f"part{i}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    q = asof_attribution_stream(
+        spark, str(src), str(tmp_path / "ckpt_asof"), ev.schema, "ev_asof_t"
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 4  # state really crossed batches
+    got = {
+        (r["click_id"], r["user_id"], r["click_epoch"], r["attributed_view"])
+        for r in spark.sql("select * from ev_asof_t").collect()
+    }
+    want = {
+        (r["click_id"], r["user_id"], r["click_epoch"], r["attributed_view"])
+        for r in q_asof_attribution(spark, SF).collect()
+    }
+    assert got == want

@@ -1,0 +1,96 @@
+"""Property tests for operators/timeseries.py: the union-window as-of
+join and the binned trailing range join must match a brute-force
+per-row oracle on seeded random inputs, including boundary timestamps
+(exact bin edges, equal-timestamp ties, empty windows)."""
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nightcrawlercmd_spark.operators import timeseries as TS
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def tsdata():
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        # coarse second grid forces equal-ts ties; offsets hit exact
+        # hour-bin edges (0 and 3600 deltas)
+        sec = rng.choice([0, 1, 3599, 3600, 3601, 7200]) + 3600 * rng.randint(0, 5)
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": rng.randint(0, 4),
+                "ts": BASE + dt.timedelta(seconds=sec),
+                "kind": rng.choice(["L", "R"]),
+                "value": float(rng.randint(1, 9)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_asof_join_matches_bruteforce(spark, tsdata):
+    pdf = tsdata
+    left = spark.createDataFrame(pdf[pdf.kind == "L"].drop(columns=["kind"]))
+    right = spark.createDataFrame(pdf[pdf.kind == "R"].drop(columns=["kind"]))
+    out = TS.asof_join(
+        left,
+        right,
+        on="user_id",
+        ts="ts",
+        payload={"matched": "event_id"},
+        right_tiebreak="event_id",
+    )
+    got = {r["event_id"]: r["matched"] for r in out.collect()}
+    lf = pdf[pdf.kind == "L"]
+    rf = pdf[pdf.kind == "R"]
+    assert len(got) == len(lf)
+    for _, lrow in lf.iterrows():
+        cand = rf[(rf.user_id == lrow.user_id) & (rf.ts <= lrow.ts)]
+        want = None
+        if len(cand):
+            last_ts = cand.ts.max()
+            want = int(cand[cand.ts == last_ts].event_id.max())
+        assert got[lrow.event_id] == want, f"left {lrow.event_id}"
+
+
+def test_range_join_trailing_matches_bruteforce(spark, tsdata):
+    pdf = tsdata
+    left = spark.createDataFrame(
+        pdf[pdf.kind == "L"].drop(columns=["kind", "value"]).rename(
+            columns={"event_id": "lid"}
+        )
+    )
+    right = spark.createDataFrame(
+        pdf[pdf.kind == "R"]
+        .drop(columns=["kind", "event_id"])
+        .rename(columns={"ts": "rts", "value": "rvalue"})
+    )
+    out = TS.range_join_trailing(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        window_s=3600,
+        left_id="lid",
+        aggs=[F.count("*").alias("_n"), F.sum("rvalue").alias("_s")],
+    )
+    got = {
+        r["lid"]: (r["_n"] or 0, r["_s"] or 0.0) for r in out.collect()
+    }
+    lf = pdf[pdf.kind == "L"]
+    rf = pdf[pdf.kind == "R"]
+    assert len(got) == len(lf)
+    for _, lrow in lf.iterrows():
+        lo = lrow.ts - dt.timedelta(seconds=3600)
+        cand = rf[(rf.user_id == lrow.user_id) & (rf.ts > lo) & (rf.ts <= lrow.ts)]
+        assert got[lrow.event_id] == (len(cand), float(cand.value.sum())), (
+            f"left {lrow.event_id}"
+        )
