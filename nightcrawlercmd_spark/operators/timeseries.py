@@ -38,45 +38,57 @@ def asof_join(
     ts: str,
     payload: dict[str, str],
     right_tiebreak: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the payload of the
-    right row with the greatest ``ts`` ≤ the left row's ``ts`` (ties on
-    ``ts`` broken by the greatest ``right_tiebreak``).
+    """As-of join. ``backward``: for each left row, attach the payload
+    of the right row with the greatest ``ts`` ≤ the left row's ``ts``
+    (ties on ``ts`` broken by the greatest ``right_tiebreak``).
+    ``forward``: the right row with the smallest ``ts`` ≥ the left
+    row's ``ts`` (ties broken by the smallest tiebreak).
 
     ``payload`` maps output alias → right column name. Left columns are
     passed through unchanged; unmatched left rows get null payload.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
     pay_struct = F.struct(
         *[F.col(src).alias(alias) for alias, src in payload.items()]
     )
     pay_type = right.select(pay_struct.alias("_p")).schema["_p"].dataType
+    # side ordering puts the right rows inside the left row's frame at
+    # equal ts: rights sort before lefts for backward (frame ends at
+    # the current row), after lefts for forward (frame starts at it)
     r = right.select(
         F.col(on).alias("_k"),
         F.col(ts).alias("_t"),
-        F.lit(0).alias("_side"),
+        F.lit(0 if back else 1).alias("_side"),
         F.col(right_tiebreak).cast("bigint").alias("_tb"),
         pay_struct.alias("_p"),
         F.lit(None).cast(
             left.select(F.struct(*left.columns).alias("_l")).schema["_l"].dataType
         ).alias("_l"),
     )
+    left_side = 1 if back else 0
     l = left.select(
         F.col(on).alias("_k"),
         F.col(ts).alias("_t"),
-        F.lit(1).alias("_side"),
+        F.lit(left_side).alias("_side"),
         F.lit(0).cast("bigint").alias("_tb"),
         F.lit(None).cast(pay_type).alias("_p"),
         F.struct(*left.columns).alias("_l"),
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_side", "_tb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy("_k").orderBy("_t", "_side", "_tb")
+    if back:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("_p", ignorenulls=True)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("_p", ignorenulls=True)
     matched = (
         r.unionByName(l)
-        .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
+        .withColumn("_m", pick.over(w))
+        .filter(F.col("_side") == left_side)
     )
     return matched.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],

@@ -1784,6 +1784,98 @@ GROUP BY c.event_id, c.user_id
 """
 
 
+def q_funnel_conversion(spark, sf):
+    """Funnel step via FORWARD as-of join: for each view, the user's
+    next click (smallest ts ≥ the view's; ties → smallest event_id)
+    and whether it landed within the 1-hour conversion window. Same
+    single-shuffle union-window plan as the backward direction."""
+    ev = _t(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = TS.asof_join(
+        views,
+        clicks,
+        on="user_id",
+        ts="ts",
+        payload={"next_click": "event_id", "_ct": "ts"},
+        right_tiebreak="event_id",
+        direction="forward",
+    )
+    return out.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.unix_timestamp(F.col("ts")).alias("view_epoch"),
+        "next_click",
+        F.coalesce(
+            F.col("_ct") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"), F.lit(False)
+        ).alias("converted"),
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+nc AS (
+  SELECT v.event_id, v.user_id, v.ts,
+         (SELECT min(c2.ts) FROM events c2
+           WHERE c2.user_id = v.user_id AND c2.event_type = 'click'
+             AND c2.ts >= v.ts) AS ct
+  FROM v)
+SELECT event_id AS view_id, user_id,
+       cast(floor(epoch(ts)) as bigint) AS view_epoch,
+       (SELECT min(c.event_id) FROM events c
+         WHERE c.user_id = nc.user_id AND c.event_type = 'click'
+           AND c.ts = nc.ct) AS next_click,
+       coalesce(ct <= ts + INTERVAL 1 HOUR, false) AS converted
+FROM nc
+"""
+
+
+def q_domain_mix(spark, sf):
+    """Domain-mix rebalancing: integer-exact per-source sampling plan
+    toward a uniform target mix — target = ceil(total/n_sources) docs
+    per source, rate in millionths, kept = min(n_src, target). One
+    tiny aggregate cross-joined back as a broadcast; the actual
+    row-level sample then composes with sample_hash_mod's
+    deterministic hash filter at the computed rate."""
+    docs = _t(spark, sf, "documents")
+    s = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    t = s.agg(
+        F.sum("n_src").cast("bigint").alias("total"),
+        F.count("*").alias("n_sources"),
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .withColumn(
+            "target", F.expr("(total + n_sources - 1) div n_sources").cast("bigint")
+        )
+        .withColumn(
+            "rate_micro",
+            F.least(F.lit(1000000).cast("bigint"),
+                    F.expr("target * 1000000 div n_src").cast("bigint")),
+        )
+        .withColumn("keep_docs", F.least(F.col("n_src"), F.col("target")))
+        .select("source", "n_src", "target", "rate_micro", "keep_docs")
+    )
+
+
+SQL_DOMAIN_MIX = """
+WITH s AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+t AS (SELECT cast(sum(n_src) as bigint) AS total, count(*) AS n_sources FROM s)
+SELECT source, n_src,
+       cast((total + n_sources - 1) // n_sources as bigint) AS target,
+       least(1000000,
+             cast((total + n_sources - 1) // n_sources * 1000000 // n_src
+                  as bigint)) AS rate_micro,
+       least(n_src, cast((total + n_sources - 1) // n_sources as bigint))
+           AS keep_docs
+FROM s CROSS JOIN t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "report_wordlist": q_report_wordlist,
     "report_query_keys": q_report_query_keys,
@@ -1828,6 +1920,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     "asof_attribution": q_asof_attribution,
     "range_join_trailing": q_range_join_trailing,
+    "funnel_conversion": q_funnel_conversion,
+    "domain_mix": q_domain_mix,
     "pii_scrub": q_pii_scrub,
     "source_percentiles": q_source_percentiles,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1891,6 +1985,8 @@ ORACLES: dict[str, str] = {
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "asof_attribution": SQL_ASOF_ATTRIBUTION,
     "range_join_trailing": SQL_RANGE_JOIN_TRAILING,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "domain_mix": SQL_DOMAIN_MIX,
     "pii_scrub": SQL_PII_SCRUB,
     "source_percentiles": SQL_SOURCE_PERCENTILES,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

@@ -94,3 +94,29 @@ def test_range_join_trailing_matches_bruteforce(spark, tsdata):
         assert got[lrow.event_id] == (len(cand), float(cand.value.sum())), (
             f"left {lrow.event_id}"
         )
+
+
+def test_asof_join_forward_matches_bruteforce(spark, tsdata):
+    pdf = tsdata
+    left = spark.createDataFrame(pdf[pdf.kind == "L"].drop(columns=["kind"]))
+    right = spark.createDataFrame(pdf[pdf.kind == "R"].drop(columns=["kind"]))
+    out = TS.asof_join(
+        left,
+        right,
+        on="user_id",
+        ts="ts",
+        payload={"matched": "event_id"},
+        right_tiebreak="event_id",
+        direction="forward",
+    )
+    got = {r["event_id"]: r["matched"] for r in out.collect()}
+    lf = pdf[pdf.kind == "L"]
+    rf = pdf[pdf.kind == "R"]
+    assert len(got) == len(lf)
+    for _, lrow in lf.iterrows():
+        cand = rf[(rf.user_id == lrow.user_id) & (rf.ts >= lrow.ts)]
+        want = None
+        if len(cand):
+            first_ts = cand.ts.min()
+            want = int(cand[cand.ts == first_ts].event_id.min())
+        assert got[lrow.event_id] == want, f"left {lrow.event_id}"
