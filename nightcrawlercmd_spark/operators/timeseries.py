@@ -20,8 +20,8 @@ from shuffle-once DataFrame compositions, no Python:
   inequality join is a broadcast-nested-loop in Spark — O(n·m). Binning
   both sides to ``bin_s``-second buckets turns the range predicate into
   an equi-join on (key, bin) with a bounded explode factor of
-  ``window_s/bin_s + 1`` on the probe side, then the exact predicate
-  filters residuals. This is the plan Databricks' range-join hint
+  ``ceil(window_s/bin_s) + 1`` on the probe side, then the exact
+  predicate filters residuals. This is the plan Databricks' range-join hint
   produces, expressed portably.
 """
 
@@ -51,6 +51,14 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    tb_type = dict(right.dtypes).get(right_tiebreak)
+    if tb_type not in ("tinyint", "smallint", "int", "bigint"):
+        # a silent cast('bigint') would null a non-numeric tiebreak and
+        # quietly degrade equal-ts resolution to nondeterministic
+        raise ValueError(
+            f"right_tiebreak {right_tiebreak!r} must be an integral column, "
+            f"got {tb_type}"
+        )
     back = direction == "backward"
     pay_struct = F.struct(
         *[F.col(src).alias(alias) for alias, src in payload.items()]
@@ -59,7 +67,11 @@ def asof_join(
     # side ordering puts the right rows inside the left row's frame at
     # equal ts: rights sort before lefts for backward (frame ends at
     # the current row), after lefts for forward (frame starts at it)
-    r = right.select(
+    # equality-join semantics: a null key never matches. Null-key right
+    # rows are dropped (they could match nothing); null-key left rows
+    # share the nulls window partition, which then contains no right
+    # rows, so their payload is null — same as the SQL formulation.
+    r = right.filter(F.col(on).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(ts).alias("_t"),
         F.lit(0 if back else 1).alias("_side"),
@@ -117,7 +129,9 @@ def range_join_trailing(
     explode factor 2).
     """
     bin_s = bin_s or window_s
-    n_bins = window_s // bin_s + 1
+    # ceil, not floor: with a non-divisor bin size the window can span
+    # ceil(window/bin) full bins plus the partial one the left row is in
+    n_bins = -(-window_s // bin_s) + 1
     # unix_timestamp floors to whole seconds; floor(floor(e)/bin) ==
     # floor(e/bin) for integer bin sizes, so binning fidelity is kept
     # (the exact range predicate below still compares raw timestamps).

@@ -1620,9 +1620,13 @@ FROM c GROUP BY 1, 2
 def q_pmi_bigrams(spark, sf):
     """Collocation mining: top-50 adjacent word pairs by integer-exact
     PMI lift = cnt_ab·N·10^6 div (cnt_a·cnt_b) (monotone in PMI, no
-    cross-engine log rounding). Bigram and unigram counts are each one
-    map-side-combinable shuffle; the final top-k is a
-    TakeOrderedAndProject, not a full sort."""
+    cross-engine log rounding). The product is computed in decimal(38)
+    (DuckDB: hugeint) — at a 10^8-word corpus cnt_ab·N·10^6 exceeds
+    int64 and a non-ANSI bigint multiply would wrap silently; the
+    quotient always fits bigint (≤ N·10^6). Bigram and unigram counts
+    are each one map-side-combinable shuffle; the top-50 is an
+    orderBy+limit (TakeOrderedAndProject) with the rank window applied
+    to only the 50 survivors."""
     docs = _t(spark, sf, "documents")
     warr = T.words(F.lower(F.col("text")))
     d = docs.select(warr.alias("a"))
@@ -1648,15 +1652,20 @@ def q_pmi_bigrams(spark, sf):
         bi.join(uni.select(F.col("word").alias("w1"), F.col("cnt").alias("cnt_a")), "w1")
         .join(uni.select(F.col("word").alias("w2"), F.col("cnt").alias("cnt_b")), "w2")
         .crossJoin(F.broadcast(total))
-        .withColumn("lift", F.expr("cnt_ab * total * 1000000 div (cnt_a * cnt_b)"))
+        .withColumn(
+            "lift",
+            F.expr(
+                "cast(cast(cnt_ab as decimal(38,0)) * total * 1000000"
+                " div (cnt_a * cnt_b) as bigint)"
+            ),
+        )
     )
+    top = scored.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(50)
     rk = F.row_number().over(
         Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
     )
-    return (
-        scored.withColumn("rank", rk.cast("bigint"))
-        .filter(F.col("rank") <= 50)
-        .select("w1", "w2", "cnt_ab", "lift", "rank")
+    return top.withColumn("rank", rk.cast("bigint")).select(
+        "w1", "w2", "cnt_ab", "lift", "rank"
     )
 
 
@@ -1672,7 +1681,8 @@ bc AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
        FROM b GROUP BY 1, 2),
 scored AS (
   SELECT w1, w2, cnt_ab,
-         cast(cnt_ab * total * 1000000 // (cnt_a * cnt_b) as bigint) AS lift
+         cast(cast(cnt_ab as hugeint) * total * 1000000 // (cnt_a * cnt_b)
+              as bigint) AS lift
   FROM bc
   JOIN (SELECT word AS w1, cnt AS cnt_a FROM uc) USING (w1)
   JOIN (SELECT word AS w2, cnt AS cnt_b FROM uc) USING (w2)

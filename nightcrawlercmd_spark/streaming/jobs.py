@@ -216,7 +216,10 @@ ASOF_STATE_SCHEMA = "last_us bigint, last_id bigint"
 def _asof_fn(
     key: Tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    last_us, last_id = state.get if state.exists else (-1, -1)
+    # explicit has-state flag: a (-1, -1) sentinel would collide with
+    # legitimate pre-epoch timestamps (us < 0) and drop those views
+    have = state.exists
+    last_us, last_id = state.get if have else (None, None)
     out = []
     pdf = pd.concat(list(batches), ignore_index=True)
     # views sort before clicks at equal ts (a click attributes to a
@@ -227,18 +230,20 @@ def _asof_fn(
     for r in pdf.itertuples():
         us = r.ts.value // 1_000  # pandas ns → µs, full fidelity
         if r.event_type == "view":
-            if us > last_us or (us == last_us and r.event_id > last_id):
+            if not have or us > last_us or (us == last_us and r.event_id > last_id):
                 last_us, last_id = us, int(r.event_id)
+                have = True
         elif r.event_type == "click":
             out.append(
                 {
                     "click_id": int(r.event_id),
                     "user_id": int(key[0]),
                     "click_epoch": us // 1_000_000,
-                    "attributed_view": None if last_id < 0 else last_id,
+                    "attributed_view": last_id if have else None,
                 }
             )
-    state.update((last_us, last_id))
+    if have:
+        state.update((last_us, last_id))
     yield pd.DataFrame(out, columns=["click_id", "user_id", "click_epoch", "attributed_view"])
 
 

@@ -60,7 +60,8 @@ def test_asof_join_matches_bruteforce(spark, tsdata):
         assert got[lrow.event_id] == want, f"left {lrow.event_id}"
 
 
-def test_range_join_trailing_matches_bruteforce(spark, tsdata):
+@pytest.mark.parametrize("bin_s", [None, 1000])  # divisor + non-divisor bins
+def test_range_join_trailing_matches_bruteforce(spark, tsdata, bin_s):
     pdf = tsdata
     left = spark.createDataFrame(
         pdf[pdf.kind == "L"].drop(columns=["kind", "value"]).rename(
@@ -81,6 +82,7 @@ def test_range_join_trailing_matches_bruteforce(spark, tsdata):
         window_s=3600,
         left_id="lid",
         aggs=[F.count("*").alias("_n"), F.sum("rvalue").alias("_s")],
+        bin_s=bin_s,
     )
     got = {
         r["lid"]: (r["_n"] or 0, r["_s"] or 0.0) for r in out.collect()
