@@ -1886,6 +1886,32 @@ FROM s CROSS JOIN t
 """
 
 
+def q_training_shards(spark, sf):
+    """Training-shard sink round-trip: write the documents table as 8
+    deterministic hash shards (sources/shards.py), then read the
+    on-disk manifest back. The oracle recomputes the expected
+    assignment from the hash contract alone — so the pair verifies the
+    physical shard layout, not just an in-memory groupBy."""
+    import os
+
+    from ..sources import shards as SH
+
+    docs = _t(spark, sf, "documents")
+    out = f"/dev/shm/ncs_shards_q/{os.path.basename(sf.rstrip('/'))}"
+    SH.write_training_shards(docs, out, key_col="doc_id", n_shards=8)
+    return SH.shard_manifest(spark, out).select(
+        F.col("shard").cast("int").alias("shard"), "n_rows"
+    )
+
+
+SQL_TRAINING_SHARDS = """
+SELECT cast(cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8)) as bigint)
+            % 8 as int) AS shard,
+       count(*) AS n_rows
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "report_wordlist": q_report_wordlist,
     "report_query_keys": q_report_query_keys,
@@ -1932,6 +1958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_trailing": q_range_join_trailing,
     "funnel_conversion": q_funnel_conversion,
     "domain_mix": q_domain_mix,
+    "training_shards": q_training_shards,
     "pii_scrub": q_pii_scrub,
     "source_percentiles": q_source_percentiles,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1997,6 +2024,7 @@ ORACLES: dict[str, str] = {
     "range_join_trailing": SQL_RANGE_JOIN_TRAILING,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "domain_mix": SQL_DOMAIN_MIX,
+    "training_shards": SQL_TRAINING_SHARDS,
     "pii_scrub": SQL_PII_SCRUB,
     "source_percentiles": SQL_SOURCE_PERCENTILES,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

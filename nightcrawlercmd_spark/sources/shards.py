@@ -1,0 +1,64 @@
+"""Training-shard sink: deterministic, size-balanced parquet shards.
+
+The output side of the curation pipeline — after dedup/filter/pack, a
+training corpus ships as N addressable shards a dataloader can map to
+workers. Requirements at 100 TB:
+
+- **Deterministic assignment**: a row lands in the same shard on every
+  run at any parallelism (hash of a stable key, never round-robin or
+  rand()), so reshipping a corpus is reproducible and incremental jobs
+  can target single shards.
+- **Balanced sizes**: md5-prefix hash spreads keys uniformly; shard
+  row counts concentrate around n/N (binomial, CV ≈ sqrt(N/n)).
+- **One writer task per shard**: ``repartitionByRange`` on the shard id
+  (range partitioner over 0..N-1) gives each task one contiguous shard,
+  so each ``shard=K`` directory is written by exactly one task — no
+  small-file explosion; ``maxRecordsPerFile`` bounds file size below
+  that.
+- **Deterministic intra-shard order**: ``sortWithinPartitions`` on
+  (shard, hash, key) fixes row order for byte-stable downstream
+  tokenization runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textops import md5i
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 16,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` as ``path/shard=K/*.parquet`` for K in 0..n_shards-1,
+    sharded by a deterministic hash of ``key_col``."""
+    sharded = df.withColumn(
+        "shard", F.pmod(md5i(F.col(key_col).cast("string")), F.lit(n_shards))
+    )
+    out = sharded.repartitionByRange(n_shards, "shard").sortWithinPartitions(
+        "shard", md5i(F.col(key_col).cast("string")), key_col
+    )
+    w = out.write.mode("overwrite").partitionBy("shard")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def shard_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Per-shard manifest: row count + file count — the index a
+    dataloader (or an incremental re-shard job) reads first."""
+    df = spark.read.parquet(path)
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("_file").alias("n_files"),
+        )
+        .orderBy("shard")
+    )
