@@ -100,9 +100,21 @@ class StateStore:
         """Write a bucket-partitioned snapshot containing ONLY the
         buckets present in ``df`` (Iceberg dynamic partition overwrite
         analog). Returns the bucket ids actually written — an empty
-        bucket produces no dir, so callers drop it from their manifest."""
+        bucket produces no dir, so callers drop it from their manifest.
+
+        The overwrite is pinned to static mode: the manifest is derived
+        from a listdir of the round dir, so under a session-level
+        ``partitionOverwriteMode=dynamic`` a crashed earlier attempt's
+        stale bucket dirs would survive the re-run's overwrite and be
+        adopted into the new manifest — pending rows from an abandoned
+        timeline. Static mode clears the whole round dir first."""
         d = self._dir(name, round_no)
-        df.write.mode("overwrite").partitionBy(bucket_col).parquet(d)
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy(bucket_col)
+            .parquet(d)
+        )
         pref = bucket_col + "="
         return sorted(
             int(p[len(pref):]) for p in os.listdir(d) if p.startswith(pref)

@@ -235,15 +235,29 @@ class CrawlEngine:
         )
         manifest = {b: 0 for b in written}
         seeds.unpersist()
-        # seen delta shares the pending shape (+first_round) across all rounds
+        # seen delta shares the pending shape (+first_round) across all
+        # rounds; the pending count is observed during this write — no
+        # dedicated count job or second manifest scan at init (the same
+        # zero-extra-jobs pattern _run_round uses)
+        from pyspark.sql import Observation
+
+        obs0 = Observation("seen0")
         seen0 = self._read_pending_manifest(manifest).withColumn("first_round", F.lit(0))
-        self.store.append(seen0, "seen", 0)
+        self.store.append(
+            seen0.observe(obs0, F.count(F.lit(1)).alias("rows")), "seen", 0
+        )
+        n = int(obs0.get.get("rows") or 0)
         m_bits = PartitionedBloom.size_for(self.cfg.expected_urls, self.cfg.bloom)
         if cfg.use_bloom and self._table_probe():
             self.store.append(
-                build_filter_delta_df(seen0, cfg.bloom, m_bits), "seen_filters", 0
+                build_filter_delta_df(
+                    self.store.read_snapshot(self.spark, "seen", 0),
+                    cfg.bloom,
+                    m_bits,
+                ),
+                "seen_filters",
+                0,
             )
-        n = self._read_pending_manifest(manifest).count()
         self.store.commit(
             0,
             {
@@ -253,6 +267,11 @@ class CrawlEngine:
                 "pending_compact_round": 0,
                 "scope_seed_hosts": cfg.scope_seed_hosts,
                 "bloom_m_bits": m_bits,
+                # geometry pinned with m_bits: a resumed crawl must probe
+                # persisted filters with the build-time partitions/k
+                "bloom_partitions": cfg.bloom.partitions,
+                "bloom_bits_per_key": cfg.bloom.bits_per_key,
+                "bloom_k": cfg.bloom.k,
             },
         )
 
@@ -328,13 +347,7 @@ class CrawlEngine:
         Bases written before the partitioned layout lack the column and
         are read whole — compatible, just unpruned until the next
         compaction rewrites them."""
-        base_round = -1
-        for r in reversed(self.store.committed_rounds()):
-            if r > upto_round:
-                continue
-            if self.store.meta(r).get("seen_base_round") is not None:
-                base_round = self.store.meta(r)["seen_base_round"]
-                break
+        base_round = self._latest_base_round("seen_base_round", upto_round)
         parts = []
         if base_round >= 0 and self.store.exists("seen_base", base_round):
             base = self.store.read_snapshot(self.spark, "seen_base", base_round)
@@ -363,6 +376,20 @@ class CrawlEngine:
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def _latest_base_round(self, key: str, upto_round: int) -> int:
+        """Most recent committed compaction base at or before
+        ``upto_round`` (shared by the seen and filter readers — the two
+        must resolve bases identically or their reads desynchronize:
+        zero-fetch commits carry the key forward as a copied value, and
+        the delta window is strictly (base, upto])."""
+        for r in reversed(self.store.committed_rounds()):
+            if r > upto_round:
+                continue
+            v = self.store.meta(r).get(key)
+            if v is not None:
+                return v
+        return -1
 
     def _suspect_buckets(self, suspects: DataFrame) -> list[int]:
         """Distinct sbuckets of the round's bloom-positive suspects —
@@ -423,13 +450,30 @@ class CrawlEngine:
         except FileNotFoundError:
             return PartitionedBloom.size_for(self.cfg.expected_urls, self.cfg.bloom)
 
+    def _bloom_cfg(self) -> BloomConfig:
+        """Bloom geometry pinned at init (round-0 meta, like bloom_m_bits):
+        a resume with a changed partitions/k would otherwise probe the
+        persisted filter blobs with the wrong pid / bit positions —
+        bloom false negatives whose rows bypass the exact anti-join and
+        get re-crawled. Config changes to the geometry take effect only
+        on a fresh store."""
+        try:
+            m = self.store.meta(0)
+        except FileNotFoundError:
+            return self.cfg.bloom
+        return BloomConfig(
+            partitions=m.get("bloom_partitions", self.cfg.bloom.partitions),
+            bits_per_key=m.get("bloom_bits_per_key", self.cfg.bloom.bits_per_key),
+            k=m.get("bloom_k", self.cfg.bloom.k),
+        )
+
     def _table_probe(self) -> bool:
         """Probe-path choice: forced by config, else by total filter
         bytes vs the broadcast budget (static per crawl — m_bits is
         fixed at init from expected_urls)."""
         if self.cfg.bloom_table_probe is not None:
             return self.cfg.bloom_table_probe
-        total = self.cfg.bloom.partitions * self._m_bits() // 8
+        total = self._bloom_cfg().partitions * self._m_bits() // 8
         return total > self.cfg.bloom_broadcast_max_bytes
 
     def _ensure_bloom(self, upto_round: int) -> PartitionedBloom:
@@ -438,12 +482,12 @@ class CrawlEngine:
         if self._bloom is not None:
             return self._bloom
         m_bits = self._m_bits()
-        bloom = PartitionedBloom(self.cfg.bloom, m_bits)
+        bloom = PartitionedBloom(self._bloom_cfg(), m_bits)
         seen = self._read_seen(upto_round)
         if seen is not None:
             bloom.add_filter_rows(
                 build_filter_deltas(
-                    seen, self.cfg.bloom, m_bits,
+                    seen, self._bloom_cfg(), m_bits,
                     subsplits=self.cfg.bloom_rebuild_subsplits,
                 )
             )
@@ -466,29 +510,39 @@ class CrawlEngine:
         return self._bloom_bc
 
     def _read_filters(self, upto_round: int) -> DataFrame:
-        """seen_filters = latest compacted base + deltas after it; if the
-        store predates table mode, bootstrap from the exact seen table
-        (filters are a cache, the table is the truth)."""
-        base_round = -1
-        for r in reversed(self.store.committed_rounds()):
-            if r > upto_round:
-                continue
-            if self.store.meta(r).get("filters_base_round") is not None:
-                base_round = self.store.meta(r)["filters_base_round"]
-                break
+        """seen_filters = latest compacted base + deltas after it, PLUS
+        an in-memory catch-up delta for every committed round whose seen
+        delta has no persisted filter delta (rounds run with
+        use_bloom=False or in broadcast mode, or a store that predates
+        table mode). Filters are a cache — the seen table is the truth —
+        and a silent coverage gap would turn into bloom false negatives
+        whose rows bypass the exact anti-join. The catch-up is never
+        written into a committed round's directory (that would violate
+        the write-then-commit invariant: a crash mid-write could leave a
+        committed round unreadable with nothing re-running to heal it);
+        it is recomputed per round until the next filter compaction
+        folds it into the persisted base."""
+        base_round = self._latest_base_round("filters_base_round", upto_round)
         parts = []
         if base_round >= 0 and self.store.exists("seen_filters_base", base_round):
             parts.append(self.store.read_snapshot(self.spark, "seen_filters_base", base_round))
+        missing = []
         for r in self.store.committed_rounds():
-            if base_round < r <= upto_round and self.store.exists("seen_filters", r):
-                parts.append(self.store.read_snapshot(self.spark, "seen_filters", r))
-        if not parts:  # bootstrap: state written before table mode existed
-            delta = build_filter_delta_df(
-                self._read_seen(upto_round), self.cfg.bloom, self._m_bits(),
-                subsplits=self.cfg.bloom_rebuild_subsplits,
+            if base_round < r <= upto_round:
+                if self.store.exists("seen_filters", r):
+                    parts.append(self.store.read_snapshot(self.spark, "seen_filters", r))
+                elif self.store.exists("seen", r):
+                    missing.append(r)
+        if missing:
+            gap = self.store.read_snapshot(self.spark, "seen", missing[0])
+            for r in missing[1:]:
+                gap = gap.unionByName(self.store.read_snapshot(self.spark, "seen", r))
+            parts.append(
+                build_filter_delta_df(
+                    gap, self._bloom_cfg(), self._m_bits(),
+                    subsplits=self.cfg.bloom_rebuild_subsplits,
+                )
             )
-            self.store.append(delta, "seen_filters", upto_round)
-            parts = [self.store.read_snapshot(self.spark, "seen_filters", upto_round)]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -582,7 +636,7 @@ class CrawlEngine:
             # runs twice per round
             if self._table_probe():
                 tagged = bloom_probe_cogroup(
-                    cands, self._read_filters(r - 1), cfg.bloom, self._m_bits()
+                    cands, self._read_filters(r - 1), self._bloom_cfg(), self._m_bits()
                 ).persist()
             else:
                 self._ensure_bloom(r - 1)
@@ -653,13 +707,13 @@ class CrawlEngine:
             delta = store.read_snapshot(spark, "seen", r)
             if self._table_probe():
                 store.append(
-                    build_filter_delta_df(delta, cfg.bloom, self._m_bits()),
+                    build_filter_delta_df(delta, self._bloom_cfg(), self._m_bits()),
                     "seen_filters",
                     r,
                 )
             elif self._bloom is not None:
                 self._bloom.add_filter_rows(
-                    build_filter_deltas(delta, cfg.bloom, self._bloom.m_bits)
+                    build_filter_deltas(delta, self._bloom_cfg(), self._bloom.m_bits)
                 )
                 self._bloom_bc_stale = True
             tick("bloom_delta_build")
