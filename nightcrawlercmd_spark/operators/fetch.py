@@ -114,13 +114,20 @@ class HttpFetcher:
 
     def fetch_image(self, image_id: str):
         """GET the payload bytes + typed metadata; decode happens in the
-        caller (same codec path as the synthetic mode)."""
-        resp = self._get(f"/img/{image_id}.png", self._addr[0])
-        blob = resp.read()
-        fmt = resp.getheader("X-Img-Fmt")
-        w = int(resp.getheader("X-Img-W"))
-        h = int(resp.getheader("X-Img-H"))
-        return blob, w, h, fmt
+        caller (same codec path as the synthetic mode). Returns None on
+        a non-200 response or missing metadata headers — one transient
+        image failure must degrade that row (null img columns), never
+        raise inside mapInPandas and fail the whole task/round."""
+        try:
+            resp = self._get(f"/img/{image_id}.png", self._addr[0])
+            blob = resp.read()
+            fmt = resp.getheader("X-Img-Fmt")
+            w, h = resp.getheader("X-Img-W"), resp.getheader("X-Img-H")
+        except Exception:
+            return None
+        if resp.status != 200 or not fmt or w is None or h is None:
+            return None
+        return blob, int(w), int(h), fmt
 
 
 def fetch_stage(
@@ -132,6 +139,7 @@ def fetch_stage(
     dont_follow: list[str] | None = None,
     strict_filters: bool = False,
     http_endpoint: str | None = None,
+    no_new_links: bool = False,
 ) -> DataFrame:
     """dequeued frontier rows → fetched pages (one row per URL).
 
@@ -158,16 +166,19 @@ def fetch_stage(
             img_cols: dict[str, list] = {"img_w": [], "img_h": [], "img_fmt": [], "img_phash": []}
             children: list[list[tuple[str, float]]] = []
             for r, depth in zip(res, pdf["depth"]):
+                got_img = None
                 if decode_images and r["image_id"] is not None:
                     # fetch the referenced payload (real GET when an
                     # endpoint is set, deterministic bytes otherwise),
                     # then decode + hash — the per-page media work a
                     # real crawler pays. encode = wire, decode = ingest.
                     if fetcher is not None:
-                        blob, w, h, fmt = fetcher.fetch_image(r["image_id"])
+                        got_img = fetcher.fetch_image(r["image_id"])
                     else:
                         img, w, h, fmt = gen_image(world, r["image_id"])
-                        blob = C.encode(img, fmt)
+                        got_img = (C.encode(img, fmt), w, h, fmt)
+                if got_img is not None:
+                    blob, w, h, fmt = got_img
                     decoded = C.decode(blob, fmt, w, h)
                     img_cols["img_w"].append(w)
                     img_cols["img_h"].append(h)
@@ -177,7 +188,16 @@ def fetch_stage(
                     for k in img_cols:
                         img_cols[k].append(None)
                 # link extraction + canonicalization (SURVEY.md O30/O18)
-                if r["status_code"] == 200:
+                if no_new_links:
+                    # only redirect Locations may enqueue (O78): skip
+                    # the per-href extract/resolve/canonicalize work on
+                    # 200 pages entirely — it would be discarded anyway
+                    hrefs = (
+                        [r["location"]]
+                        if 300 <= (r["status_code"] or 0) <= 307 and r["location"]
+                        else []
+                    )
+                elif r["status_code"] == 200:
                     # follow/dont-follow on the RAW href, pre-resolution
                     # (reference mainCrawler.go:175-196, O20/O40)
                     hrefs = filter_hrefs(

@@ -39,11 +39,19 @@ def priority_udf():
     return F.pandas_udf(fn, "double")
 
 
+def _after_scheme(canon: Column) -> Column:
+    """Everything after the FIRST '://' — mirrors the Python twin's
+    split('://', 1). substring_index with count -1 would split on the
+    LAST occurrence, which mis-parses any canonical URL embedding a URL
+    in its path or query (…/go?to=http://other.example/x)."""
+    return canon.substr(F.instr(canon, "://") + F.lit(3), F.length(canon))
+
+
 def host_of_col(canon: Column) -> Column:
     """Host of a *canonical* URL via string ops (codegen, no parse_url).
     IPv6 literals ([::1]:8080) unwrap to the bracket contents, matching
     the Python ``urlnorm.host_of`` twin."""
-    auth = F.substring_index(F.substring_index(canon, "://", -1), "/", 1)
+    auth = F.substring_index(_after_scheme(canon), "/", 1)
     return F.when(
         F.startswith(auth, F.lit("[")),
         F.regexp_extract(auth, r"^\[([^\]]+)\]", 1),
@@ -53,7 +61,7 @@ def host_of_col(canon: Column) -> Column:
 def path_of_col(canon: Column) -> Column:
     """Path (sans query) of a canonical URL; always starts with '/'
     (the canonicalizer guarantees a non-empty path)."""
-    rest = F.substring_index(canon, "://", -1)
+    rest = _after_scheme(canon)
     pathq = rest.substr(F.instr(rest, "/"), F.length(rest))
     return F.substring_index(pathq, "?", 1)
 

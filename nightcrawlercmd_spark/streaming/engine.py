@@ -312,13 +312,17 @@ class CrawlEngine:
                 )
             if self.store.exists("pages", j):
                 removals.append(
-                    self.store.read_snapshot(self.spark, "pages", j).select("url_hash")
+                    self.store.read_snapshot(self.spark, "pages", j).select(
+                        "url_hash", "canon_url"
+                    )
                 )
         if removals:
             rem = removals[0]
             for p in removals[1:]:
                 rem = rem.unionByName(p)
-            df = df.join(rem, "url_hash", "left_anti")
+            # (hash, canon) key: a 64-bit collision must not evict a
+            # distinct never-fetched pending row
+            df = df.join(rem, ["url_hash", "canon_url"], "left_anti")
         return df
 
     def _read_pending(self, round_no: int) -> DataFrame:
@@ -590,6 +594,7 @@ class CrawlEngine:
             dont_follow=cfg.dont_follow,
             strict_filters=cfg.strict_reference_filters,
             http_endpoint=cfg.http_endpoint,
+            no_new_links=cfg.no_new_links,
         )
         # free per-round metrics: observed during the write action itself
         from pyspark.sql import Observation
@@ -653,14 +658,25 @@ class CrawlEngine:
                 )
             else:
                 seen = self._read_seen(r - 1)
+            # anti-join on (hash, canon) — the hash alone has expected
+            # birthday collisions >1 at the 10^10-URL design point, and
+            # a collision keyed on hash only would drop a distinct URL
+            # forever. Bloom stays hash-keyed (a colliding new URL just
+            # becomes a suspect and resolves here).
             suspects = raw_suspects.join(
-                seen.select("url_hash"), "url_hash", "left_anti"
+                seen.select("url_hash", "canon_url"),
+                ["url_hash", "canon_url"],
+                "left_anti",
             )
             new = fresh.unionByName(suspects)
         else:
             tagged = None
             seen = self._read_seen(r - 1)
-            new = cands.join(seen.select("url_hash"), "url_hash", "left_anti")
+            new = cands.join(
+                seen.select("url_hash", "canon_url"),
+                ["url_hash", "canon_url"],
+                "left_anti",
+            )
         new = _with_salt_cols(new, cfg.n_salts).select(*PENDING_COLS)
         # the seen delta carries the full pending shape (lineage incl.) so
         # the next-round pending rows are a column-pruned re-read, not a

@@ -71,10 +71,14 @@ def simulate(
 
     raw_seeds = seeds if seeds is not None else [r["url"] for r in seed_rows(world)]
     canon_seeds = sorted({c for c in (canonicalize(u) for u in raw_seeds) if c})
+    canon_seeds = [c for c in canon_seeds if allowed(c)]
+    # scope = hosts of the robots-ALLOWED seeds, matching the engine,
+    # which derives scope from the round-0 seen table written after the
+    # robots filter: a host whose every seed is disallowed is out of
+    # scope on both sides
     scope: set[str] | None = None
     if scope_seed_hosts:
         scope = {host_of(c) for c in canon_seeds}
-    canon_seeds = [c for c in canon_seeds if allowed(c)]
 
     res = SimResult()
     pending: dict[str, tuple[float, int]] = {}  # canon → (priority, depth)
@@ -92,13 +96,19 @@ def simulate(
         dequeued: list[tuple[str, float, int]] = []
         for host, items in by_host.items():
             items.sort(key=lambda t: (-t[1], t[0]))
-            dequeued.extend(items[: budgets.get(host, default_budget)])
+            # max(0, ·): the engine's row_number <= budget keeps nothing
+            # for a negative budget; a raw Python slice would keep
+            # len+budget items and diverge
+            dequeued.extend(items[: max(0, budgets.get(host, default_budget))])
         dequeued.sort(key=lambda t: (-t[1], t[0]))
         if max_pages is not None:
             dequeued = dequeued[: max_pages - res.fetched]
         if round_capacity is not None:
             dequeued = dequeued[:round_capacity]
         if not dequeued:
+            # the engine commits (and counts) the empty round before
+            # stopping — mirror that so `rounds` parity holds
+            res.rounds = r
             break
         # --- fetch + log + collect candidate links over the whole round ---
         candidates: dict[str, tuple[int, str]] = {}  # canon → (depth, parent)

@@ -108,3 +108,43 @@ def test_resume_with_bloom_gap_rounds(spark, tmp_path_factory):
     )
     eng.run()
     _assert_oracle_parity(eng)
+
+
+def test_scope_excludes_host_with_only_disallowed_seeds(spark, tmp_path_factory):
+    """Scope semantics, both sides: scope = hosts of the robots-ALLOWED
+    seeds. A host whose every seed is disallowed must be out of scope
+    for the engine AND the oracle (the simulator used to compute scope
+    pre-filter and diverge here)."""
+    world = WorldConfig(n_hosts=4, base_pages=10, hot_factor=4, tag="t-scope2")
+    seeds = [
+        "http://host00.t-scope2.test/p/0",
+        "http://host01.t-scope2.test/p/0",
+        "http://host02.t-scope2.test/private/x",  # its ONLY seed is disallowed
+    ]
+    sp = str(tmp_path_factory.mktemp("seeds")) + "/seeds.parquet"
+    spark.createDataFrame([(u,) for u in seeds], "url string").write.parquet(sp)
+    state = str(tmp_path_factory.mktemp("rcfg_scope"))
+    eng = CrawlEngine(
+        spark,
+        EngineConfig(
+            state_dir=state,
+            world=world,
+            seeds_path=sp,
+            max_rounds=6,
+            max_pages=80,
+            fetch_tasks=8,
+            expected_urls=1 << 12,
+        ),
+    )
+    eng.run()
+    sim = simulate(world, seeds=seeds, max_rounds=6, max_pages=80)
+    got_log = [
+        (r["round"], r["seq"], r["canon_url"], r["status_code"])
+        for r in eng.crawl_log().collect()
+    ]
+    assert got_log == sim.log
+    got_seen = {
+        r["canon_url"]: (r["first_round"], r["depth"]) for r in eng.seen().collect()
+    }
+    assert got_seen == sim.seen
+    assert not any("host02" in u for u in got_seen)  # out of scope on both sides

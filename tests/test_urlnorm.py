@@ -73,3 +73,31 @@ def test_reserved_query_encodings_stay_distinct():
     b = canonicalize("http://h.test/p?a=b&c=d")
     assert a != b
     assert canonicalize("http://h.test/p?x=%2B1") != canonicalize("http://h.test/p?x=+1")
+
+
+def test_host_path_cols_match_python_twins(spark):
+    """The JVM column splitters must split on the FIRST '://' like the
+    Python twins — a URL embedded in a path or query (redirect
+    trackers, ?to= params) must not hijack the host/path."""
+    from pyspark.sql import functions as F
+
+    from nightcrawlercmd_spark.functions.urlnorm import host_of
+    from nightcrawlercmd_spark.operators.links import host_of_col, path_of_col
+    from nightcrawlercmd_spark.streaming.simulator import _path_of
+
+    urls = [
+        "http://host00.w1.test/go?to=http://offsite.example/x",
+        "http://host00.w1.test/redir/http://other.example/deep/page",
+        "http://host01.w1.test:8080/a/b?q=1",
+        "http://[::1]:8080/p?u=https://e.test/y",
+        "http://host02.w1.test/plain",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "canon_url string")
+    rows = df.select(
+        "canon_url",
+        host_of_col(F.col("canon_url")).alias("h"),
+        path_of_col(F.col("canon_url")).alias("p"),
+    ).collect()
+    for r in rows:
+        assert r["h"] == host_of(r["canon_url"]), r["canon_url"]
+        assert r["p"] == _path_of(r["canon_url"]), r["canon_url"]
