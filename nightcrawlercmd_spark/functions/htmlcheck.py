@@ -36,6 +36,26 @@ _ATTR_RE = re.compile(
 )
 _ALLOWED_PREFIXES = ("data-", "aria-")
 
+# script/style contents and comments are NOT markup: 'if (a < b && c > 0)'
+# must not scan as a tag. The spans are blanked with spaces, newlines
+# kept, so every surviving match's line number is unchanged; the
+# opening <script …>/<style …> tags themselves are still validated.
+_RAWTEXT_RE = re.compile(
+    r"(<(script|style)\b[^>]*>)(.*?)(</\2\s*>)", re.IGNORECASE | re.DOTALL
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+
+
+def _blank_keep_newlines(s: str) -> str:
+    return re.sub(r"[^\n]", " ", s)
+
+
+def _mask_nonmarkup(raw: str) -> str:
+    raw = _RAWTEXT_RE.sub(
+        lambda m: m.group(1) + _blank_keep_newlines(m.group(3)) + m.group(4), raw
+    )
+    return _COMMENT_RE.sub(lambda m: _blank_keep_newlines(m.group(0)), raw)
+
 
 def _attr_names(body: str) -> list[str]:
     out: list[str] = []
@@ -80,6 +100,7 @@ def validate_html(
     reference's UpdateErrorLines does — by position of the offending
     tag in the original text."""
     glob, tags = load_ruleset(ruleset_path)
+    raw = _mask_nonmarkup(raw)
     findings: list[dict] = []
     seen: set[tuple] = set()
     for m in _TAG_RE.finditer(raw):

@@ -51,30 +51,38 @@ def probe_matrix(spark: SparkSession, urls: DataFrame) -> DataFrame:
         F.col("url"),
         host_of_col(F.col("url")).alias("host"),
         path_of_col(F.col("url")).alias("path"),
-        F.substring_index(F.col("url"), "?", -1).alias("query"),
+        # everything after the FIRST '?' — substring_index with -1 would
+        # take after the LAST one and mangle ?next=/login?retry=1
+        F.col("url")
+        .substr(F.instr(F.col("url"), "?") + F.lit(1), F.length("url"))
+        .alias("query"),
     )
-    # O55: every query key × every vector (mutate one param)
+    # O55: every query key × EVERY vector (the reference's query-param
+    # loop has no Section check, mainHttpScan.go:118-130)
     params = (
         base.filter(F.col("url").contains("?"))
         .select("url", F.explode(F.split("query", "&")).alias("kv"))
         .select("url", F.substring_index("kv", "=", 1).alias("target"))
         .crossJoin(vecs)
-        .filter(F.col("section").isNull())
         .select("url", F.lit("param").alias("kind"), "target", "vector", "test")
     )
-    # O56: every header × every vector (appended to the value)
+    # O56: every header × EVERY vector (no Section check in the header
+    # loop either, mainHttpScan.go:132-142)
     headers = (
         base.select("url", F.explode(F.array(F.lit("User-Agent"), F.lit("Referer"))).alias("target"))
         .crossJoin(vecs)
-        .filter(F.col("section").isNull() | (F.col("section") == "header"))
         .select("url", F.lit("header").alias("kind"), "target", "vector", "test")
     )
-    # O57: every non-empty path segment × section-eligible vectors (O49)
+    # O57: every non-empty path segment × urlsegment-eligible vectors
+    # (O49). Section gates ONLY this branch, by substring containment —
+    # the reference matches strings.Index(vec.Section, "urlsegment"),
+    # so multi-valued sections like "header,urlsegment" qualify and
+    # NULL/empty sections do not.
     segments = (
         base.select("url", F.posexplode(F.split("path", "/")).alias("pos", "seg"))
         .filter(F.length("seg") > 0)
         .crossJoin(vecs)
-        .filter(F.col("section").isNull() | (F.col("section") == "urlsegment"))
+        .filter(F.coalesce(F.col("section"), F.lit("")).contains("urlsegment"))
         .select(
             "url",
             F.lit("segment").alias("kind"),
@@ -117,17 +125,37 @@ def run_scan(spark: SparkSession, urls: DataFrame) -> DataFrame:
         "target",
         "vector",
         "duration_ms",
-        (F.instr(F.col("body"), F.coalesce(F.col("test"), F.col("vector"))) > 0).alias("found"),
+        # O35 fallback: the reference substitutes Vector whenever Test
+        # is the EMPTY STRING (mainHttpScan.go:185-188; 20/28 shipped
+        # vectors have Test "") — coalesce alone would pass '' through
+        # and instr(body, '') flags every row found
+        (
+            F.instr(
+                F.col("body"),
+                F.when(
+                    F.col("test").isNull() | (F.col("test") == ""),
+                    F.col("vector"),
+                ).otherwise(F.col("test")),
+            )
+            > 0
+        ).alias("found"),
         F.length("body").alias("body_len"),
     )
 
 
 def render_html(results: list[dict]) -> str:
     """Driver-side HTML render of a (small) collected result — the
-    reference's template sink (O10, template/httpscanresult.tmpl)."""
+    reference's template sink (O10, template/httpscanresult.tmpl).
+    Values are escaped like Go's auto-escaping html/template: every
+    vector contains HTML metacharacters by construction, and an
+    unescaped '\"><script>' payload would break (and XSS) the report."""
+    from html import escape
+
     rows = "\n".join(
         "<tr><td>{url}</td><td>{kind}</td><td>{target}</td><td>{vector}</td>"
-        "<td>{found}</td><td>{duration_ms}ms</td></tr>".format(**r)
+        "<td>{found}</td><td>{duration_ms}ms</td></tr>".format(
+            **{k: escape(str(v), quote=True) for k, v in r.items()}
+        )
         for r in results
     )
     return (

@@ -11,7 +11,7 @@ cached DataFrame feeding six projections/aggregations:
   invalidtags — per-page HTML validation findings (mainReport.go:124-127)
   wordlist    — word → count + first page (mainReport.go:261-300; first =
                 min(url), delta O59)
-  formtags    — form × input double explode (mainReport.go:243-259)
+  formtags    — form × input double explode (mainReport.go:331-353)
   allurls     — global distinct hrefs (mainReport.go:212-241)
 
 All heavy lifting is one Python pass (``page_features_udf``) that
@@ -68,8 +68,13 @@ def page_features_udf(ruleset_path: str | None = None):
                 {
                     "text": text,
                     "words": _WORD_RE.findall(text)[:CAP_WORDS],
-                    "text_urls": _URL_RE.findall(text)[:CAP_URLS],
-                    "text_ips": _IP_RE.findall(text)[:CAP_IPS],
+                    # URLs/IPs come from the RAW body, not the stripped
+                    # text: the reference runs GetUrlsFromText/
+                    # GetIPsFromText on page.ResponseBody
+                    # (mainReport.go:113-116), so attribute URLs
+                    # (<a href=…>, <img src=…>) count too
+                    "text_urls": _URL_RE.findall(raw)[:CAP_URLS],
+                    "text_ips": _IP_RE.findall(raw)[:CAP_IPS],
                     "query_keys": _query_keys(u),
                     "forms": extract_forms(b),
                     "invalid_tags": validate_html(raw, ruleset_path),
@@ -85,11 +90,14 @@ def page_reports(pages: DataFrame, ruleset_path: str | None = None) -> DataFrame
     """The shared scan: pages (html only, like the reference's MIME
     filter O22) + derived feature columns. Cache this and derive all
     six reports from it. ``ruleset_path`` overrides the packaged HTML
-    validation ruleset (reference `-tags config/tags.json` analog)."""
-    html_pages = pages.filter(
-        (F.col("status_code") == 200)
-        & F.col("content_type").startswith("text/html")
-    )
+    validation ruleset (reference `-tags config/tags.json` analog).
+
+    The ONLY gate is the MIME filter — the reference collects query
+    keys / hrefs / forms / words for every html page regardless of
+    status code (mainReport.go:118-172 has no status check), so a 404
+    with an html body or a redirect URL carrying query params reports
+    like any other page."""
+    html_pages = pages.filter(F.col("content_type").startswith("text/html"))
     return html_pages.withColumn(
         "f", page_features_udf(ruleset_path)(F.col("canon_url"), F.col("body"))
     ).select("canon_url", "status_code", "resp_ms", "location", "error", "f.*")
@@ -141,7 +149,9 @@ def wordlist(reports: DataFrame) -> DataFrame:
 
 
 def formtags(reports: DataFrame) -> DataFrame:
-    """Double explode: page → forms → inputs (mainReport.go:243-259)."""
+    """Double explode: page → forms → inputs (mainReport.go:331-353).
+    Inner explode, not outer: the reference loops `for _, input :=
+    range form.Inputs`, so a form with zero inputs writes no row."""
     forms = reports.select(
         "canon_url", F.posexplode("forms").alias("form_idx", "form")
     )
@@ -150,7 +160,7 @@ def formtags(reports: DataFrame) -> DataFrame:
         "form_idx",
         F.col("form.action").alias("action"),
         F.col("form.method").alias("method"),
-        F.explode_outer("form.inputs").alias("input_name"),
+        F.explode("form.inputs").alias("input_name"),
     )
 
 

@@ -33,9 +33,14 @@ def simulate_dns_sweep(
     (O58 name build, O46 resume anti-join, O65 found aggregation).
 
     words: DataFrame(word string); history: DataFrame(name string).
+
+    Names carry the reference's trailing dot (absolute FQDN form:
+    ``word.domain.``, mainDNS.go:112) — the resume history set stores
+    that form, so a dot-less build would anti-join against nothing and
+    silently re-resolve every already-scanned name.
     """
     names = words.select(
-        F.concat(F.trim("word"), F.lit("."), F.lit(domain)).alias("name")
+        F.concat(F.trim("word"), F.lit("."), F.lit(domain), F.lit(".")).alias("name")
     ).filter(F.length(F.trim("word")) > 0).distinct()
     if history is not None:
         names = names.join(history.select("name"), "name", "left_anti")

@@ -103,8 +103,22 @@ def write_xlsx(df, path: str, sheet_name: str = "Report") -> None:
     inherently a single file)."""
     import decimal
     import math
+    import re as _re
     import zipfile
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape as _sax_escape
+
+    # XML 1.0 forbids most C0 controls even escaped; strip them or the
+    # whole workbook is rejected by Excel/openpyxl
+    _XML_BAD = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+    def escape(s: str) -> str:
+        return _sax_escape(_XML_BAD.sub("", s))
+
+    def escape_attr(s: str) -> str:
+        # attribute context additionally needs the quote escaped —
+        # saxutils.escape alone leaves '"' intact and a sheet name
+        # like 'DNS "prod"' would emit malformed XML
+        return _sax_escape(_XML_BAD.sub("", s), {'"': "&quot;"})
 
     header = list(df.columns)
     rows = [header] + [[row[c] for c in header] for row in df.collect()]
@@ -145,7 +159,7 @@ def write_xlsx(df, path: str, sheet_name: str = "Report") -> None:
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        f'<sheets><sheet name="{escape_attr(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
         "</workbook>"
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:

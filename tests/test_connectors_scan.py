@@ -32,13 +32,16 @@ def test_dns_sweep_resume_and_classification(spark):
     words = spark.createDataFrame(
         pd.DataFrame({"word": ["www", "mail", "dev", "api", "", "www"]}), "word string"
     )
+    # history carries the reference's absolute-FQDN form with the
+    # trailing dot (mainDNS.go:112) — the build must match it or the
+    # resume anti-join silently no-ops
     history = spark.createDataFrame(
-        pd.DataFrame({"name": ["mail.ex.test"]}), "name string"
+        pd.DataFrame({"name": ["mail.ex.test."]}), "name string"
     )
     out = simulate_dns_sweep(spark, words, "ex.test", history).collect()
     names = {r["name"] for r in out}
-    assert "mail.ex.test" not in names  # resume anti-join (O46)
-    assert names <= {"www.ex.test", "dev.ex.test", "api.ex.test"}
+    assert "mail.ex.test." not in names  # resume anti-join (O46)
+    assert names <= {"www.ex.test.", "dev.ex.test.", "api.ex.test."}
     for r in out:
         assert r["found"] == (r["entry"] is not None)  # explode_outer
 
@@ -87,10 +90,14 @@ def test_httpscan_matrix_and_scan(spark):
     m = probe_matrix(spark, urls).collect()
     kinds = {(r["kind"]) for r in m}
     assert kinds == {"param", "header", "segment"}
-    # params: only url1 (2 keys × 2 section-null vectors)
-    assert sum(1 for r in m if r["kind"] == "param") == 4
-    # segments: url1 has a,b; url2 has solo → 3 segments × 4 eligible vectors
-    assert sum(1 for r in m if r["kind"] == "segment") == 12
+    # params: only url1 — 2 keys × ALL 5 vectors (the reference's
+    # query-param loop has no Section gate)
+    assert sum(1 for r in m if r["kind"] == "param") == 10
+    # headers: 2 urls × 2 headers × ALL 5 vectors
+    assert sum(1 for r in m if r["kind"] == "header") == 20
+    # segments: a,b + solo → 3 segments × the 2 vectors whose section
+    # CONTAINS 'urlsegment' (Section gates only this branch)
+    assert sum(1 for r in m if r["kind"] == "segment") == 6
     res = run_scan(spark, urls).collect()
     assert len(res) == len(m)
     html = render_html([r.asDict() for r in res[:5]])
