@@ -29,9 +29,14 @@ def cosine_to_query(emb: DataFrame, query_vec: list[float]) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = sum(float(x) ** 2 for x in query_vec) ** 0.5
     e = F.col("embedding").cast("array<double>")
+    denom = _norm(e) * F.lit(qn)
+    # zero-norm guard: a dead/padded embedding (or zero query) yields a
+    # NULL sim instead of a division error (ANSI) or engine-dependent
+    # behavior; desc ordering sorts NULLs last, threshold filters drop
+    # them
     return emb.select(
         "vec_id",
-        F.round(_dot(e, q) / (_norm(e) * F.lit(qn)), 6).alias("sim"),
+        F.when(denom > 0, F.round(_dot(e, q) / denom, 6)).alias("sim"),
     )
 
 
@@ -66,6 +71,11 @@ def lsh_topk(
     ``probe_hamming`` sign flips (multi-probe), then exact-rank the
     candidates. Probe width trades recall vs candidate volume — with 6
     planes and distance 2 the candidate set is ~1/3 of the corpus."""
+    if probe_hamming > 2:
+        raise ValueError(
+            "lsh_topk: probe_hamming > 2 is not implemented — a larger "
+            "value would silently behave like 2 and under-deliver recall"
+        )
     qsig = 0
     n = len(planes)
     for i, p in enumerate(planes):
@@ -123,8 +133,13 @@ def ivf_topk(
     )
     qn = math.sqrt(sum(x * x for x in query_vec))
 
+    if qn == 0:
+        raise ValueError("ivf_topk: query vector has zero norm")
+
     def _drv_cos(c: list[float]) -> float:
         cn = math.sqrt(sum(x * x for x in c))
+        if cn == 0:  # zero-norm 'centroid': sort last, never probed first
+            return float("-inf")
         return round(sum(a * b for a, b in zip(query_vec, c)) / (qn * cn), 6)
 
     probe_ids = sorted(
@@ -135,10 +150,20 @@ def ivf_topk(
         F.array(
             *[
                 F.struct(
-                    F.round(
-                        _dot(v, F.array(*[F.lit(x) for x in c]))
-                        / (_norm(v) * F.lit(math.sqrt(sum(x * x for x in c)))),
-                        6,
+                    F.coalesce(
+                        F.when(
+                            (_norm(v) > 0)
+                            & (F.lit(math.sqrt(sum(x * x for x in c))) > 0),
+                            F.round(
+                                _dot(v, F.array(*[F.lit(x) for x in c]))
+                                / (
+                                    _norm(v)
+                                    * F.lit(math.sqrt(sum(x * x for x in c)))
+                                ),
+                                6,
+                            ),
+                        ),
+                        F.lit(-2.0),  # zero-norm row/centroid: below any cosine
                     ).alias("csim"),
                     F.lit(-cid).alias("ncid"),
                 )
@@ -153,7 +178,10 @@ def ivf_topk(
         .filter(F.col("cell").isin(probe_ids))
         .select(
             "vec_id",
-            F.round(_dot(v, q) / (_norm(v) * F.lit(qn)), 6).alias("sim"),
+            F.when(
+                _norm(v) * F.lit(qn) > 0,
+                F.round(_dot(v, q) / (_norm(v) * F.lit(qn)), 6),
+            ).alias("sim"),
             "cell",
         )
         .orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -186,7 +214,9 @@ def cosine_near_dup_pairs(
         "n", _norm(F.col("v"))
     )
     a, b = nrm.alias("a"), nrm.alias("b")
-    sim = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    denom = F.col("a.n") * F.col("b.n")
+    # zero-norm rows can pair-match in a block; NULL sim → filtered out
+    sim = F.when(denom > 0, _dot(F.col("a.v"), F.col("b.v")) / denom)
     return (
         a.join(
             b,

@@ -98,6 +98,13 @@ def sample_frames(videos: DataFrame, every_k: int = 4, n_tasks: int = 32) -> Dat
                 w, h, nf, fps = int(r.w), int(r.h), int(r.n_frames), int(r.fps)
                 stride = w * h * 3
                 blob = bytes(r.bytes)
+                # metadata is untrusted: a zero fps or a blob shorter
+                # than n_frames*stride (truncated upload) must degrade
+                # to skipped frames, not a frombuffer/zero-division
+                # error that fails the whole task
+                if fps <= 0 or stride <= 0:
+                    continue
+                nf = min(nf, len(blob) // stride)
                 for k in range(0, nf, every_k):
                     frame = np.frombuffer(
                         blob, dtype=np.uint8, count=stride, offset=k * stride
@@ -132,7 +139,12 @@ def audio_features(audio: DataFrame, n_tasks: int = 32) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                pcm = np.frombuffer(bytes(r.bytes), dtype="<i2").astype(np.float64)
+                blob = bytes(r.bytes)
+                # odd-length blob (truncated pcm16): drop the dangling
+                # byte rather than crash frombuffer; sr<=0 → duration 0
+                pcm = np.frombuffer(
+                    blob[: len(blob) // 2 * 2], dtype="<i2"
+                ).astype(np.float64)
                 pcm /= 32768.0
                 n = len(pcm)
                 sr = int(r.sr)
@@ -142,7 +154,7 @@ def audio_features(audio: DataFrame, n_tasks: int = 32) -> DataFrame:
                         "audio_id": r.audio_id,
                         "sr": sr,
                         "n_samples": n,
-                        "duration_ms": int(n * 1000 / sr),
+                        "duration_ms": int(n * 1000 / sr) if sr > 0 else 0,
                         "rms": float(np.sqrt(np.mean(pcm**2))) if n else 0.0,
                         "peak": float(np.max(np.abs(pcm))) if n else 0.0,
                         "zcr": float(zc / max(n - 1, 1)),
@@ -154,26 +166,46 @@ def audio_features(audio: DataFrame, n_tasks: int = 32) -> DataFrame:
 
 
 def phash_near_dupes(images: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate images by perceptual-hash Hamming distance,
-    blocked on the top-16 phash bits so the self-join never goes
-    quadratic (same-block pairs only)."""
+    """Near-duplicate images by perceptual-hash Hamming distance with a
+    FULL recall guarantee: the 64 phash bits are cut into
+    ``max_hamming + 1`` disjoint bands and the self-join fires on ANY
+    matching band — by pigeonhole, a pair with ≤ max_hamming differing
+    bits has at least one band with zero diffs, so no qualifying pair
+    can be missed (a single top-16-bit block would drop any pair whose
+    flips touch those bits). Still bucketed, never quadratic: each
+    band join only collides same-band-value rows; the exact bit_count
+    filter re-ranks candidates and distinct() removes multi-band hits."""
     from pyspark.sql import functions as F
 
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = []
+    for i in range(n_bands):
+        lo = i * width
+        w = 64 - lo if i == n_bands - 1 else width  # last band takes the tail
+        mask = (1 << w) - 1
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.expr(f"(phash >> {lo}) & {mask}").alias("band_val"),
+            )
+        )
     blocked = images.select(
-        "image_id", "phash", F.expr("phash >> 48").alias("block")
-    )
+        "image_id", "phash", F.explode(F.array(*bands)).alias("band")
+    ).select("image_id", "phash", "band.band_id", "band.band_val")
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.image_id") < F.col("b.image_id")),
         )
-        .withColumn("hamming", F.bit_count(F.expr("a.phash ^ b.phash")))
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.image_id").alias("image_a"),
             F.col("b.image_id").alias("image_b"),
-            "hamming",
+            F.bit_count(F.expr("a.phash ^ b.phash")).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

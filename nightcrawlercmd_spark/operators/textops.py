@@ -84,12 +84,20 @@ def md5i(col: Column) -> Column:
 
 def shingles(words_col: Column, k: int = 3) -> Column:
     """k-word shingle strings from a word array (join on spaces).
-    Note: guard short arrays — Spark's sequence(0, -1) would *descend*."""
+    Documents SHORTER than k words contribute their whole text as one
+    shingle — without the fallback every short doc has an empty shingle
+    set and the entire MinHash/Jaccard dedup path is blind to them
+    (short boilerplate pages are the heaviest duplicate class at web
+    scale; even byte-identical ones would never pair).
+    Note: guard the sequence — Spark's sequence(0, -1) would *descend*."""
     idx = F.when(
         F.size(words_col) >= k, F.sequence(F.lit(0), F.size(words_col) - F.lit(k))
     ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
+    full = F.transform(
         idx, lambda i: F.concat_ws(" ", *[words_col[i + j] for j in range(k)])
+    )
+    return F.when(F.size(words_col) >= k, full).otherwise(
+        F.array(F.concat_ws(" ", words_col))
     )
 
 
@@ -133,6 +141,12 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs: band the signature, bucket-join.
     The self-join is on (band_id, band_hash) — only colliding buckets
     shuffle, never the full cross product (LSH's point at scale)."""
+    if n_hashes % band_size != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by band_size "
+            f"({band_size}) — trailing MinHash values would be computed "
+            "and silently unused, delivering less recall than configured"
+        )
     sig = minhash_signatures(docs, n_hashes, k)
     n_bands = n_hashes // band_size
     bands = sig.select(
@@ -257,9 +271,27 @@ def near_dup_lsh_exact(
     """The composed scale path: MinHash-LSH candidate generation →
     exact n-gram-Jaccard re-rank. Both stages are bucket-joins — the
     quadratic all-pairs (or per-block) join never happens, so this is
-    the form that survives 100 TB."""
+    the form that survives 100 TB.
+
+    Recall contract: a pair with Jaccard J survives candidate
+    generation with P = 1 - (1 - J^band_size)^(n_hashes/band_size) —
+    the S-curve midpoint for the (8, 2) default sits near J ≈ 0.5, so
+    a low ``threshold`` (≤ ~0.3) is only honored for pairs the banding
+    happens to catch. For high recall at low thresholds use
+    band_size=1 (P = 1-(1-J)^8: ~57% at J=0.1) — the exact re-rank
+    stage filters the extra false-positive candidates, so wider
+    banding costs candidates, not correctness. See
+    ``lsh_candidate_prob`` to size the banding for a target J."""
     cands = minhash_lsh_pairs(docs, n_hashes=n_hashes, band_size=band_size, k=k)
     return ngram_jaccard_pairs(docs, k=k, threshold=threshold, candidates=cands)
+
+
+def lsh_candidate_prob(jaccard: float, n_hashes: int = 8, band_size: int = 2) -> float:
+    """Probability that a pair with the given true Jaccard similarity
+    becomes an LSH candidate under (n_hashes, band_size) banding —
+    use it to check a banding supports the threshold you care about."""
+    n_bands = n_hashes // band_size
+    return 1.0 - (1.0 - jaccard**band_size) ** n_bands
 
 
 # ------------------------------------------------------- text analysis ----

@@ -683,13 +683,17 @@ FROM documents GROUP BY md5(text)
 
 _MD5I = "cast(('0x' || substr(md5({x}), 1, 8)) as bigint)"
 
+# short docs (< k words) contribute their whole text as one shingle —
+# matches textops.shingles' fallback so the dedup path sees them
 _SH_CTE = """
 ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, s AS shingle FROM (
     SELECT doc_id,
-           unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                   for i in generate_series(1, len(w) - 2)]) AS s
+           unnest(CASE WHEN len(w) >= 3
+                  THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w) - 2)]
+                  ELSE [array_to_string(w, ' ')] END) AS s
     FROM ws)
   WHERE length(s) > 0)
 """
