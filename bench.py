@@ -383,7 +383,74 @@ def main() -> None:
         except Exception as e:
             out["frontier_growth_error"] = str(e)[:200]
     out["total_seconds"] = round(time.time() - t_total, 1)
-    print(json.dumps(out))
+    # Full detail (per-round arrays, growth trace) goes to a sidecar
+    # file; the ONE printed line must stay compact — the driver keeps
+    # only the tail ~2KB of stdout, and round 2's full-detail line
+    # overflowed it (BENCH_r02.json parsed:null). VERDICT r2 item 1.
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(compact_summary(out)))
+
+
+_RUN_KEYS = ("cpus", "urls", "seconds", "urls_per_sec",
+             "steady_urls_per_sec", "hw_rate")
+
+
+def _run_summary(r: dict | None) -> dict | None:
+    if not isinstance(r, dict):
+        return r
+    return {k: r[k] for k in _RUN_KEYS if k in r}
+
+
+def compact_summary(out: dict) -> dict:
+    """Headline-only JSON (< ~1.8KB): scalar throughput + both scaling
+    pairs + growth verdict; detail lives in BENCH_DETAIL.json."""
+    c = out.get("crawl", {})
+    comp = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "detail": "BENCH_DETAIL.json",
+        "total_seconds": out.get("total_seconds"),
+    }
+    cc: dict = {}
+    for k, v in c.items():
+        if k in ("hi", "lo"):
+            cc[k] = _run_summary(v)
+        elif k == "midpair":
+            cc[k] = {
+                mk: (_run_summary(mv) if mk in ("hi", "lo") else mv)
+                for mk, mv in v.items()
+            }
+        else:
+            cc[k] = v
+    comp["crawl"] = cc
+    fg = out.get("frontier_growth")
+    if isinstance(fg, dict):
+        rounds = fg.get("rounds", [])
+        noncompact = [r for r in rounds if (r.get("rewritten") or 0) == 0]
+        comp["frontier_growth"] = {
+            "cpus": fg.get("cpus"),
+            "rounds": len(rounds),
+            "zero_rewrite_rounds": len(noncompact),
+            "max_frontier": max((r.get("frontier_before") or 0) for r in rounds)
+            if rounds
+            else 0,
+            "compaction_rewrite_fractions": [
+                r.get("rewrite_fraction")
+                for r in rounds
+                if (r.get("rewritten") or 0) > 0
+            ],
+        }
+    for ek in ("frontier_growth_error",):
+        if ek in out:
+            comp[ek] = out[ek]
+    return comp
 
 
 if __name__ == "__main__":

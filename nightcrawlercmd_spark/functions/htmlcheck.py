@@ -27,7 +27,7 @@ from functools import lru_cache
 from importlib import resources
 
 _TAG_RE = re.compile(
-    r"<\s*([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)/?>"
+    r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)/?>"
 )
 # one attribute (name + optional value) — consumed SEQUENTIALLY so
 # words inside quoted values are never mistaken for attribute names
@@ -104,9 +104,13 @@ def validate_html(
     findings: list[dict] = []
     seen: set[tuple] = set()
     for m in _TAG_RE.finditer(raw):
-        tag = m.group(1).lower()
+        closing = m.group(1) == "/"
+        tag = m.group(2).lower()
         line = raw.count("\n", 0, m.start()) + 1
         if tag not in tags:
+            # closing forms are validated too: an unknown tag appearing
+            # only as </bogus> is still a finding (a tokenizer-level
+            # validator like the reference's sees EndTag tokens as well)
             key = ("unknown-tag", tag, line)
             if key not in seen:
                 seen.add(key)
@@ -114,8 +118,10 @@ def validate_html(
                     {"line": line, "tag": tag, "attr": "", "reason": "unknown-tag"}
                 )
             continue
+        if closing:
+            continue  # closing tags carry no attributes to check
         allowed = tags[tag]
-        for attr in _attr_names(m.group(2)):
+        for attr in _attr_names(m.group(3)):
             if attr in allowed or attr in glob:
                 continue
             if attr.startswith(_ALLOWED_PREFIXES) or attr.startswith("on"):

@@ -63,6 +63,111 @@ def generate(
     )
 
 
+def _slot_hash(seed: int, tag: str, y: int):
+    """Counter-hash Column for (seed, tag, slot y, row id)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(seed)),
+                    F.lit(tag),
+                    F.lit(str(y)),
+                    F.col("id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def generate_random(
+    spark: SparkSession,
+    iterations: int = 1000,
+    slots_per_case: int = 4,
+    seed: int = DEFAULT_SEED,
+    vectors: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Random-key mode (no BuildLogic): the vector CLASS of each slot
+    is itself a seeded choice, then a vector within that class
+    (mainFuzzer.go:96-101 `keys[rand.Intn(len(keys))]`). Two reference
+    quirks are deliberately not reproduced: (a) with empty BuildLogic
+    the reference's `iterPerRun = len(fi.BuildLogic)` is 0, so its CLI
+    random mode emits empty cases — this API takes an explicit
+    ``slots_per_case``; (b) Go map key iteration order is randomized,
+    so the reference's key list isn't even stable across its own runs —
+    here keys are sorted, and both choices are counter hashes
+    (md5int(seed|tag|slot|id)) so the output is deterministic, identical
+    under any partitioning, and ANSI-SQL oracle-checkable."""
+    v = vectors or DEFAULT_VECTORS
+    keys = sorted(v)
+    df = spark.range(iterations).select(F.col("id").cast("bigint").alias("id"))
+    parts = []
+    for y in range(slots_per_case):
+        kidx = F.pmod(_slot_hash(seed, "k", y), F.lit(len(keys)))
+        expr = None
+        for i, k in enumerate(keys):
+            vecs = v[k]
+            vidx = F.pmod(_slot_hash(seed, "v", y), F.lit(len(vecs)))
+            inner = F.lit(vecs[0])
+            for j in range(1, len(vecs)):
+                inner = F.when(vidx == j, F.lit(vecs[j])).otherwise(inner)
+            expr = inner if expr is None else F.when(kidx == i, inner).otherwise(expr)
+        parts.append(expr)
+    return df.select(
+        "id", F.concat_ws("|", *parts).alias("fuzz_text")
+    )
+
+
+def oracle_random_sql(
+    iterations: int = 1000,
+    slots_per_case: int = 4,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """DuckDB twin of generate_random() — same md5 counter hashes."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def h(tag: str, y: int) -> str:
+        return (
+            f"cast(('0x' || substr(md5('{seed}|{tag}|{y}|' || "
+            f"cast(id as varchar)), 1, 8)) as bigint)"
+        )
+
+    v = DEFAULT_VECTORS
+    keys = sorted(v)
+    parts = []
+    for y in range(slots_per_case):
+        kh, vh = h("k", y), h("v", y)
+        kn = len(keys)
+        expr = None
+        for i, k in enumerate(keys):
+            vecs = v[k]
+            n = len(vecs)
+            inner = q(vecs[0])
+            for j in range(1, n):
+                inner = (
+                    f"CASE WHEN ({vh} % {n} + {n}) % {n} = {j} "
+                    f"THEN {q(vecs[j])} ELSE {inner} END"
+                )
+            expr = (
+                inner
+                if expr is None
+                else f"CASE WHEN ({kh} % {kn} + {kn}) % {kn} = {i} "
+                f"THEN {inner} ELSE {expr} END"
+            )
+        parts.append(expr)
+    joined = " || '|' || ".join(f"({p})" for p in parts)
+    return f"""
+SELECT id, {joined} AS fuzz_text
+FROM (SELECT unnest(generate_series(0, {iterations - 1})) AS id)
+"""
+
+
 def oracle_sql(iterations: int = 1000, seed: int = DEFAULT_SEED) -> str:
     """DuckDB twin of generate() — same md5 counter-hash choices."""
 

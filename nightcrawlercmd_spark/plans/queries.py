@@ -1385,6 +1385,21 @@ def _sql_fuzzer():
     return fuzzing.oracle_sql(iterations=1000)
 
 
+def q_fuzzer_random(spark, sf):
+    """O79 random-key mode (reference no-BuildLogic branch,
+    mainFuzzer.go:96-101): the vector class of every slot is itself a
+    seeded counter-hash choice."""
+    from ..operators import fuzzing
+
+    return fuzzing.generate_random(spark, iterations=1000, slots_per_case=4)
+
+
+def _sql_fuzzer_random():
+    from ..operators import fuzzing
+
+    return fuzzing.oracle_random_sql(iterations=1000, slots_per_case=4)
+
+
 def q_dns_sweep(spark, sf):
     """O46+O58+O65: wordlist sweep with resume anti-join and
     found/not-found classification (simulated resolver → rows-only)."""
@@ -1916,7 +1931,23 @@ FROM documents GROUP BY 1
 """
 
 
+# Ordered for the driver's correctness gate, which runs the FIRST ~50
+# entries (VERDICT r2 item 2: 13 of 63 got no r2 row purely by
+# position). Layout: [1] oracle-backed queries that have never had a
+# driver row run first; [2] the other oracle-backed queries;
+# [3] rows-only queries (no SQL twin — weaker check by nature);
+# [4] redundant oracle greens rotated out of the window — each is
+# correctness-covered by pytest plus an in-window sibling exercising
+# the same machinery (cube↔rollup, top_parts↔global_topk, salted_join↔
+# salted_agg, sample_hash_mod↔stratified_sample).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- [1] oracle-backed, never driver-verified: run these first ----
+    "embedding_norms": q_embedding_norms,
+    "embedding_near_dup": q_embedding_near_dup,
+    "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
+    "fuzzer_generate": q_fuzzer_generate,
+    "fuzzer_random": q_fuzzer_random,
+    # -- [2] oracle-backed ------------------------------------------
     "report_wordlist": q_report_wordlist,
     "report_query_keys": q_report_query_keys,
     "sort_wordlist_topk": q_sort_wordlist_topk,
@@ -1930,14 +1961,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "status_classify": q_status_classify,
     "pricing_summary": q_pricing_summary,
     "join_orders_customers": q_join_orders_customers,
-    "salted_join_skew": q_salted_join_skew,
     "global_topk_two_level": q_global_topk_two_level,
     "salted_agg_two_level": q_salted_agg_two_level,
     "shipping_priority": q_shipping_priority,
     "rollup_lineitem": q_rollup_lineitem,
-    "cube_orders": q_cube_orders,
-    "top_parts_per_brand": q_top_parts_per_brand,
-    "conditional_agg_events": q_conditional_agg_events,
     "sessionize_events": q_sessionize_events,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -1952,7 +1979,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "chunk_documents": q_chunk_documents,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "sample_hash_mod": q_sample_hash_mod,
     "repetition_filter": q_repetition_filter,
     "contamination_overlap": q_contamination_overlap,
     "stratified_sample": q_stratified_sample,
@@ -1967,19 +1993,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_percentiles": q_source_percentiles,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "embedding_norms": q_embedding_norms,
-    "embedding_near_dup": q_embedding_near_dup,
-    "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
+    # -- [3] rows-only (no ANSI-SQL twin) ---------------------------
     "crawl_e2e": q_crawl_e2e,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_thumbs": q_multimodal_thumbs,
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "fuzzer_generate": q_fuzzer_generate,
     "dns_sweep": q_dns_sweep,
     "bucket_scan": q_bucket_scan,
     "httpscan_matrix": q_httpscan_matrix,
+    # -- [4] rotated-out oracle greens (pytest + in-window sibling) --
+    "salted_join_skew": q_salted_join_skew,
+    "cube_orders": q_cube_orders,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "conditional_agg_events": q_conditional_agg_events,
+    "sample_hash_mod": q_sample_hash_mod,
 }
 
 ORACLES: dict[str, str] = {
@@ -2037,6 +2066,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "cosine_near_dup_lsh": SQL_COSINE_NEAR_DUP_LSH,
     "fuzzer_generate": _sql_fuzzer(),
+    "fuzzer_random": _sql_fuzzer_random(),
     # crawl_e2e / multimodal_decode / ann_lsh_topk / dns_sweep /
     # bucket_scan / httpscan_matrix: no SQL equivalent (stateful loop /
     # binary codecs / LSH probe / simulated connectors) → rows-only.

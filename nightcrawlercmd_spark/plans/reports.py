@@ -57,28 +57,35 @@ def _query_keys(url: str) -> list[str]:
 def page_features_udf(ruleset_path: str | None = None):
     from ..functions.htmlcheck import validate_html
 
-    def fn(url: pd.Series, body: pd.Series) -> pd.DataFrame:
+    def fn(url: pd.Series, body: pd.Series, ctype: pd.Series) -> pd.DataFrame:
         rows = []
-        for u, b in zip(url, body):
+        for u, b, ct in zip(url, body, ctype):
             raw = (
                 bytes(b).decode("utf-8", errors="replace") if b is not None else ""
             )
-            text = html_to_text(b)
+            is_html = (ct or "").startswith("text/html")
+            # html-only features mirror the reference's mime gate
+            # (mainReport.go:122-141): words come from the html2text'd
+            # body, validation runs on the html source; a non-html page
+            # gets empty lists there but still contributes raw-body
+            # URLs/IPs and its query keys below
+            text = html_to_text(b) if is_html else raw
             rows.append(
                 {
                     "text": text,
-                    "words": _WORD_RE.findall(text)[:CAP_WORDS],
-                    # URLs/IPs come from the RAW body, not the stripped
-                    # text: the reference runs GetUrlsFromText/
-                    # GetIPsFromText on page.ResponseBody
-                    # (mainReport.go:113-116), so attribute URLs
+                    "words": _WORD_RE.findall(text)[:CAP_WORDS] if is_html else [],
+                    # URLs/IPs come from the RAW body of EVERY page —
+                    # the reference runs GetUrlsFromText/GetIPsFromText
+                    # on page.ResponseBody before the mime check
+                    # (mainReport.go:113-117), so a JSON or text/plain
+                    # body's URLs count, and attribute URLs
                     # (<a href=…>, <img src=…>) count too
                     "text_urls": _URL_RE.findall(raw)[:CAP_URLS],
                     "text_ips": _IP_RE.findall(raw)[:CAP_IPS],
                     "query_keys": _query_keys(u),
-                    "forms": extract_forms(b),
-                    "invalid_tags": validate_html(raw, ruleset_path),
-                    "hrefs": extract_hrefs(b),
+                    "forms": extract_forms(b) if is_html else [],
+                    "invalid_tags": validate_html(raw, ruleset_path) if is_html else [],
+                    "hrefs": extract_hrefs(b) if is_html else [],
                 }
             )
         return pd.DataFrame(rows)
@@ -87,19 +94,23 @@ def page_features_udf(ruleset_path: str | None = None):
 
 
 def page_reports(pages: DataFrame, ruleset_path: str | None = None) -> DataFrame:
-    """The shared scan: pages (html only, like the reference's MIME
-    filter O22) + derived feature columns. Cache this and derive all
-    six reports from it. ``ruleset_path`` overrides the packaged HTML
-    validation ruleset (reference `-tags config/tags.json` analog).
+    """The shared scan: EVERY fetched page + derived feature columns.
+    Cache this and derive all reports from it. ``ruleset_path``
+    overrides the packaged HTML validation ruleset (reference
+    `-tags config/tags.json` analog).
 
-    The ONLY gate is the MIME filter — the reference collects query
-    keys / hrefs / forms / words for every html page regardless of
-    status code (mainReport.go:118-172 has no status check), so a 404
-    with an html body or a redirect URL carrying query params reports
-    like any other page."""
-    html_pages = pages.filter(F.col("content_type").startswith("text/html"))
-    return html_pages.withColumn(
-        "f", page_features_udf(ruleset_path)(F.col("canon_url"), F.col("body"))
+    No page-level gate at all — the reference loops every loaded page
+    (mainReport.go:96-172 has no status check, and its mime check only
+    decides WHICH features a page contributes): raw-body URLs/IPs and
+    query keys come from every page, while words / validation / forms /
+    hrefs are html-only (the per-row gate inside the feature UDF). So a
+    404 with an html body reports like any other page, and a text/plain
+    or JSON body's URLs still reach the texturls report."""
+    return pages.withColumn(
+        "f",
+        page_features_udf(ruleset_path)(
+            F.col("canon_url"), F.col("body"), F.col("content_type")
+        ),
     ).select("canon_url", "status_code", "resp_ms", "location", "error", "f.*")
 
 

@@ -75,10 +75,42 @@ def simulate_dns_sweep(
 # --------------------------------------------------------- port scan ------
 
 def simulate_port_scan(
-    spark: SparkSession, host: str, start: int, end: int
+    spark: SparkSession,
+    host: str,
+    start: int = 79,
+    end: int = 81,
+    port_list: str | list[int] | None = None,
+    show_closed: bool = True,
 ) -> DataFrame:
-    """sequence(start,end) → explode → probe connector (O12/O14)."""
-    ports = spark.range(start, end + 1).select(F.col("id").cast("int").alias("port"))
+    """Port-probe connector (O12/O14).
+
+    Two source modes mirroring the reference (mainPortScan.go:37-42):
+    with ``port_list`` (a ``"80,443,8080"`` string or an int list) the
+    explicit list is scanned — non-numeric entries are silently dropped
+    like ``toPortList`` (mainPortScan.go:46-56) — otherwise the
+    contiguous ``[start, end]`` range. ``show_closed=False`` keeps only
+    open ports, the reference's default output gate (its AfterScan
+    prints a port only when ``pi.Open || *showClosed``,
+    mainPortScan.go:28-33; this API defaults to True because the full
+    probe table is the more useful relational form — the reference CLI
+    default is the filtered view)."""
+    if port_list is not None:
+        if isinstance(port_list, str):
+            parsed = []
+            for tok in port_list.split(","):
+                try:
+                    parsed.append(int(tok))
+                except ValueError:
+                    continue  # toPortList: Atoi errors are skipped
+        else:
+            parsed = [int(p) for p in port_list]
+        ports = spark.createDataFrame(
+            [(p,) for p in parsed], "port int"
+        )
+    else:
+        ports = spark.range(start, end + 1).select(
+            F.col("id").cast("int").alias("port")
+        )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -95,9 +127,10 @@ def simulate_port_scan(
                 )
             yield pd.DataFrame(rows)
 
-    return ports.repartition(max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
-        probe, schema="port int, open boolean, size int, error string"
-    )
+    scanned = ports.repartition(
+        max(spark.sparkContext.defaultParallelism, 4)
+    ).mapInPandas(probe, schema="port int, open boolean, size int, error string")
+    return scanned if show_closed else scanned.filter(F.col("open"))
 
 
 # -------------------------------------------------------- bucket scan -----

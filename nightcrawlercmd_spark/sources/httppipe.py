@@ -1,13 +1,15 @@
-"""Raw HTTP request parsing + optional XLSX sink (SURVEY.md O7, O9).
+"""Raw HTTP request parsing, firing, and the XLSX sink (SURVEY.md O7, O9).
 
 The reference's `curl` subcommand reads an on-disk raw HTTP request,
-defaults scheme/host, and fires it (mainHttpPipe.go:81-100). Parsing is
-driver-side config work, not a dataflow — but the parsed request seeds
-probe pipelines (httpscan), so the parser lives here with tests.
+defaults scheme/host, and fires it (mainHttpPipe.go:81-100, :63
+``http.DefaultClient.Do``). Parsing is driver-side config work, not a
+dataflow — but the parsed request seeds probe pipelines (httpscan), so
+the parser lives here, and ``pipe_request`` fires a parsed request
+against a real endpoint (the O13 WorldHTTPServer in tests).
 
-O9 (DNS results → Excel, mainDNS.go:121-138) is gated behind an
-import-try: no xlsx library ships in this sandbox, so the function
-raises a clear NotImplementedError unless openpyxl/xlsxwriter appears.
+O9 (DNS results → Excel, mainDNS.go:121-138): ``write_xlsx`` is a
+from-scratch SpreadsheetML writer (stdlib zip + XML, ECMA-376 subset) —
+no third-party xlsx library needed.
 """
 
 from __future__ import annotations
@@ -51,6 +53,36 @@ def parse_raw_request(text: str, default_host: str = "localhost") -> RawRequest:
     if not path.startswith("/"):
         path = "/" + path
     return RawRequest(method=method, path=path, version=version, headers=headers, body=body)
+
+
+def pipe_request(req: RawRequest, endpoint: str, timeout: float = 30.0) -> dict:
+    """Fire a parsed raw request at a real endpoint (reference
+    mainHttpPipe.go:63: the read request goes straight to
+    ``http.DefaultClient.Do``). ``endpoint`` is ``host:port`` of the
+    actual socket (e.g. a WorldHTTPServer); the request's Host header
+    does the virtual-host routing, like the reference's
+    ``req.URL.Host = req.Host`` default (mainHttpPipe.go:91-99).
+    Returns {status_code, headers, body, url}. Redirects are NOT
+    followed — the raw response comes back, matching ``resp.Write``."""
+    import http.client
+
+    host, port = endpoint.rsplit(":", 1)
+    conn = http.client.HTTPConnection(host, int(port), timeout=timeout)
+    try:
+        headers = dict(req.headers)
+        body = req.body.encode() if req.body else None
+        if body is not None and "content-length" not in headers:
+            headers["content-length"] = str(len(body))
+        conn.request(req.method, req.path, body=body, headers=headers)
+        resp = conn.getresponse()
+        return {
+            "status_code": resp.status,
+            "headers": {k.lower(): v for k, v in resp.getheaders()},
+            "body": resp.read(),
+            "url": req.url,
+        }
+    finally:
+        conn.close()
 
 
 def _col_letter(i: int) -> str:

@@ -10,11 +10,14 @@ workers. Requirements at 100 TB:
   can target single shards.
 - **Balanced sizes**: md5-prefix hash spreads keys uniformly; shard
   row counts concentrate around n/N (binomial, CV ≈ sqrt(N/n)).
-- **One writer task per shard**: ``repartitionByRange`` on the shard id
-  (range partitioner over 0..N-1) gives each task one contiguous shard,
-  so each ``shard=K`` directory is written by exactly one task — no
-  small-file explosion; ``maxRecordsPerFile`` bounds file size below
-  that.
+- **One writer task per shard directory**: hash-repartitioning on the
+  shard id sends every row of a shard to the same task (a task may own
+  more than one shard when ``hash(shard) mod N`` collides, and some
+  tasks idle — but no shard is ever split across tasks), so each
+  ``shard=K`` directory is written by exactly one task — no small-file
+  explosion; ``maxRecordsPerFile`` bounds file size below that.
+  (``repartitionByRange`` was rejected: its sampled range boundaries
+  make the task↔shard mapping nondeterministic across runs.)
 - **Deterministic intra-shard order**: ``sortWithinPartitions`` on
   (shard, hash, key) fixes row order for byte-stable downstream
   tokenization runs.
@@ -40,7 +43,7 @@ def write_training_shards(
     sharded = df.withColumn(
         "shard", F.pmod(md5i(F.col(key_col).cast("string")), F.lit(n_shards))
     )
-    out = sharded.repartitionByRange(n_shards, "shard").sortWithinPartitions(
+    out = sharded.repartition(n_shards, "shard").sortWithinPartitions(
         "shard", md5i(F.col(key_col).cast("string")), key_col
     )
     w = out.write.mode("overwrite").partitionBy("shard")

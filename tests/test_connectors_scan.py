@@ -119,3 +119,20 @@ def test_file_walk_source(spark, tmp_path):
     rows = df.collect()
     assert {r["value"] for r in rows} == {"alpha beta", "gamma"}
     assert all(r["file"].endswith(".txt") for r in rows)
+
+
+def test_port_scan_explicit_list_and_show_closed(spark):
+    """Reference portlist mode (mainPortScan.go:37-42): explicit
+    comma-list, non-numeric entries dropped like toPortList; the
+    show-closed gate keeps only open ports when off."""
+    rows = simulate_port_scan(spark, "h.test", port_list="80,443,x,8080").collect()
+    assert sorted(r["port"] for r in rows) == [80, 443, 8080]
+    # int-list form agrees with the string form
+    again = simulate_port_scan(spark, "h.test", port_list=[80, 443, 8080]).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    full = simulate_port_scan(spark, "h.test", 1, 256).collect()
+    open_only = simulate_port_scan(spark, "h.test", 1, 256, show_closed=False).collect()
+    assert sorted(map(tuple, open_only)) == sorted(
+        tuple(r) for r in full if r["open"]
+    )

@@ -90,3 +90,42 @@ def test_xlsx_nonfinite_and_decimal_cells(spark, tmp_path):
     ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
     numeric = [v.text for v in root.findall(".//m:c[m:v]/m:v", ns)]
     assert "0.5" in numeric  # finite doubles stay numeric cells
+
+
+def test_pipe_request_fires_parsed_request():
+    """O7 end-to-end (mainHttpPipe.go:63): parse a raw on-disk-style
+    request, fire it through a real socket at the WorldHTTPServer, and
+    get the same status/body the synthetic responder produces."""
+    from nightcrawlercmd_spark.sources.corpus import WorldConfig, fetch_one
+    from nightcrawlercmd_spark.sources.httppipe import parse_raw_request, pipe_request
+    from nightcrawlercmd_spark.sources.httpserver import WorldHTTPServer
+
+    world = WorldConfig(n_hosts=2, base_pages=4, hot_factor=2, tag="t-pipe")
+    srv = WorldHTTPServer(world).start()
+    try:
+        vhost = f"host00.{world.tag}.test"
+        raw = f"GET /p/0 HTTP/1.1\r\nHost: {vhost}\r\nX-Probe: 1\r\n\r\n"
+        req = parse_raw_request(raw)
+        assert req.url == f"http://{vhost}/p/0"
+        got = pipe_request(req, srv.endpoint)
+        want = fetch_one(world, req.url)
+        assert got["status_code"] == want["status_code"]
+        assert bytes(got["body"]) == bytes(want["body"])
+
+        # a redirect comes back raw (not followed), like resp.Write
+        red = None
+        for j in range(4):
+            w = fetch_one(world, f"http://{vhost}/p/{j}")
+            if w["status_code"] in range(300, 308):
+                red = (j, w)
+                break
+        if red is not None:
+            j, w = red
+            r2 = pipe_request(
+                parse_raw_request(f"GET /p/{j} HTTP/1.1\r\nHost: {vhost}\r\n\r\n"),
+                srv.endpoint,
+            )
+            assert r2["status_code"] == w["status_code"]
+            assert r2["headers"].get("location") == w["location"]
+    finally:
+        srv.stop()

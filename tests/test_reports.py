@@ -165,3 +165,14 @@ def test_extract_tokens_modes(spark):
     assert any("abs.test" in u for u in urls)  # url_abs shape
     assert any(u.startswith("rel/") or "/path/" in u for u in urls)  # url_rel shape
     assert [r["x"] for r in toks("none")] == [text]  # newline split
+
+
+def test_validate_html_closing_tags():
+    """An unknown tag appearing only in closing form (</bogus>) is a
+    finding too — the reference's tokenizer-level validator sees EndTag
+    tokens; closing forms of known tags stay silent."""
+    from nightcrawlercmd_spark.functions.htmlcheck import validate_html
+
+    got = validate_html("<html>\n</bogus>\n</html>")
+    assert got == [{"line": 2, "tag": "bogus", "attr": "", "reason": "unknown-tag"}]
+    assert validate_html("<html><body></body></html>") == []
