@@ -268,6 +268,7 @@ def frontier_growth(cpus: int) -> dict:
                     "frontier_before": frontier,
                     "rewritten": rew,
                     "rewrite_fraction": round(rew / frontier, 3) if frontier else None,
+                    "seen_rewritten": rt.get("seen_rewritten"),
                     "seconds": rt["seconds"],
                 }
             )

@@ -82,6 +82,9 @@ PENDING_COLS = [
     "parent_url_hash",
 ]
 
+# the seen table shares the pending shape plus the discovery round
+SEEN_COLS = PENDING_COLS + ["first_round"]
+
 _PENDING_SCHEMA = [
     ("canon_url", "string"),
     ("url_hash", "bigint"),
@@ -173,6 +176,13 @@ class EngineConfig:
     # between O(suspect buckets) and O(all history) I/O per round.
     seen_buckets: int = 64
     seen_prune_min_total: int = 5_000_000
+    # incremental seen compaction (seen analog of the pending knobs
+    # above): a compaction folds only sbuckets whose unfolded delta
+    # exceeds dirty_frac of their base rows; max_lag bounds how far a
+    # low-delta bucket's watermark may trail. seen_buckets itself is
+    # PINNED in round-0 meta — see _sb_mod.
+    seen_compact_dirty_frac: float = 0.1
+    seen_compact_max_lag: int = 4
 
 
 def seed_udf():
@@ -290,6 +300,14 @@ class CrawlEngine:
                 # base sizes start unknown ({} → every dirty bucket
                 # folds at the first compaction, which populates them)
                 "pending_bucket_rows": {},
+                # incremental seen layout from round 0: no base dirs
+                # yet, every bucket's watermark at -1 (all deltas,
+                # round 0 included, are unfolded)
+                "seen_manifest": {},
+                "seen_folded": {b: -1 for b in range(cfg.seen_buckets)},
+                "seen_bucket_rows": {},
+                # modulus pinned like the bloom geometry (_sb_mod)
+                "seen_buckets": cfg.seen_buckets,
                 "scope_seed_hosts": cfg.scope_seed_hosts,
                 "bloom_m_bits": m_bits,
                 # geometry pinned with m_bits: a resumed crawl must probe
@@ -444,37 +462,114 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ seen ----
 
+    def _sb_mod(self) -> int:
+        """seen_buckets modulus PINNED at round 0 (same class as bloom
+        geometry): a resume with a changed config value would map rows
+        to different buckets than the persisted base dirs and fold
+        watermarks assume — pruned probes and watermark filtering would
+        silently miss seen URLs. Config changes take effect only on a
+        fresh store."""
+        try:
+            return self.store.meta(0).get("seen_buckets", self.cfg.seen_buckets)
+        except FileNotFoundError:
+            return self.cfg.seen_buckets
+
     def _sbucket(self, col):
-        return F.pmod(col, F.lit(self.cfg.seen_buckets)).cast("int")
+        return F.pmod(col, F.lit(self._sb_mod())).cast("int")
+
+    def _seen_state_of(self, meta: dict) -> tuple[dict, dict, dict] | None:
+        """(manifest, folded, bucket_rows) for the incremental seen
+        layout, or None for a pre-incremental store (legacy single-base
+        read path)."""
+        f = meta.get("seen_folded")
+        if f is None:
+            return None
+        return (
+            {int(k): int(v) for k, v in (meta.get("seen_manifest") or {}).items()},
+            {int(k): int(v) for k, v in f.items()},
+            {int(k): int(v) for k, v in (meta.get("seen_bucket_rows") or {}).items()},
+        )
 
     def _read_seen(
         self, upto_round: int, bucket_filter: list[int] | None = None
     ) -> DataFrame:
-        """seen = latest compacted base + the deltas after it. Without
-        compaction the per-round anti-join would read O(rounds) delta
-        dirs on long crawls (SURVEY.md §7.3.5 growth concern).
+        """seen = per-bucket compacted base ∪ each bucket's deltas after
+        its fold watermark. Without compaction the per-round anti-join
+        would read O(rounds) delta dirs on long crawls (SURVEY.md
+        §7.3.5 growth concern); with the incremental layout the base is
+        a manifest of ``seen_base/round=R/sbucket=B`` leaf dirs, so
+        ``bucket_filter`` prunes the base read to exactly the suspect
+        buckets' directories (never even listed otherwise) and the
+        delta read by a computed-bucket filter. Seen is append-only, so
+        unlike pending there are no removals — the watermark join only
+        prevents re-reading deltas already folded into a bucket's
+        base."""
+        state = self._seen_state_of(self.store.meta(upto_round))
+        if state is None:
+            return self._read_seen_legacy(upto_round, bucket_filter)
+        manifest, folded, _ = state
+        if bucket_filter is not None:
+            manifest = {b: v for b, v in manifest.items() if b in bucket_filter}
+            folded = {b: v for b, v in folded.items() if b in bucket_filter}
+        parts = []
+        base = self.store.read_buckets(
+            self.spark, "seen_base", manifest, bucket_col="sbucket"
+        )
+        if base is not None:
+            parts.append(base.select(*SEEN_COLS))
+        lo = min(folded.values(), default=upto_round)
+        uniform = len(set(folded.values())) <= 1
+        adds = []
+        for j in range(max(lo + 1, 0), upto_round + 1):
+            if self.store.exists("seen", j):
+                d = self.store.read_snapshot(self.spark, "seen", j)
+                adds.append(d if uniform else d.withColumn("__dr", F.lit(j)))
+        if adds:
+            add = adds[0]
+            for p in adds[1:]:
+                add = add.unionByName(p)
+            if bucket_filter is not None or not uniform:
+                add = add.withColumn("__sb", self._sbucket(F.col("url_hash")))
+            if bucket_filter is not None:
+                add = add.filter(F.col("__sb").isin(sorted(bucket_filter)))
+            if not uniform:
+                wm = self.spark.createDataFrame(
+                    [(int(b), int(v)) for b, v in sorted(folded.items())],
+                    "__sb int, __folded int",
+                )
+                add = add.join(F.broadcast(wm), "__sb", "left").filter(
+                    F.col("__dr") > F.coalesce(F.col("__folded"), F.lit(-1))
+                )
+            parts.append(add.select(*SEEN_COLS))
+        if not parts:
+            return self.spark.createDataFrame(
+                [],
+                schema=", ".join(f"{c} {t}" for c, t in _PENDING_SCHEMA)
+                + ", first_round int",
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
-        ``bucket_filter`` prunes the read to the given sbucket
-        partitions: the base is written ``partitionBy(sbucket)`` so the
-        filter becomes a PartitionFilter on the scan (directories never
-        opened); deltas (small, recent) compute sbucket on the fly.
-        Bases written before the partitioned layout lack the column and
-        are read whole — compatible, just unpruned until the next
-        compaction rewrites them."""
+    def _read_seen_legacy(
+        self, upto_round: int, bucket_filter: list[int] | None = None
+    ) -> DataFrame:
+        """Pre-incremental layout: latest single compacted base + the
+        deltas after it (kept so old state dirs resume byte-identically;
+        their first compaction under the new code folds everything once
+        and switches them to the manifest layout)."""
         base_round = self._latest_base_round("seen_base_round", upto_round)
         parts = []
         if base_round >= 0 and self.store.exists("seen_base", base_round):
             base = self.store.read_snapshot(self.spark, "seen_base", base_round)
             # prune ONLY if the base was bucketed with the CURRENT
-            # modulus (recorded in its compaction round's commit meta):
-            # a resume with a different seen_buckets would otherwise
-            # filter old-modulus partitions with new-modulus bucket ids
-            # and silently miss seen URLs
+            # modulus (recorded in its compaction round's commit meta)
             base_mod = self.store.meta(base_round).get("seen_buckets")
             if (
                 bucket_filter is not None
                 and "sbucket" in base.columns
-                and base_mod == self.cfg.seen_buckets
+                and base_mod == self._sb_mod()
             ):
                 base = base.filter(F.col("sbucket").isin(bucket_filter))
             parts.append(base.drop("sbucket"))
@@ -515,26 +610,198 @@ class CrawlEngine:
         )
         return sorted(r["sb"] for r in rows)
 
-    def _maybe_compact_seen(self, r: int) -> int | None:
-        """Every K rounds, rewrite the union of deltas as one base,
-        partitioned by sbucket so later rounds can partition-prune
-        their exact-probe reads."""
-        cfg = self.cfg
-        if not cfg.compact_seen_every or r % cfg.compact_seen_every != 0:
-            return None
-        # round r is not committed yet — union its just-written delta
-        # explicitly or the base would silently drop it
-        full = self._read_seen(r - 1)
-        if self.store.exists("seen", r):
-            full = full.unionByName(self.store.read_snapshot(self.spark, "seen", r))
-        bucketed = full.withColumn("sbucket", self._sbucket(F.col("url_hash")))
-        self.store.write_bucketed(
-            bucketed.repartition(cfg.fetch_tasks, "sbucket", "url_hash"),
-            "seen_base",
-            r,
-            bucket_col="sbucket",
+    def _seen_delta_counts(self, folded: dict[int, int], upto_round: int) -> dict[int, int]:
+        """Per-sbucket count of UNFOLDED seen-delta rows in
+        (min folded, upto_round] — scans only delta tables (seen is
+        append-only: no removal side)."""
+        lo = min(folded.values(), default=upto_round)
+        parts = []
+        for j in range(max(lo + 1, 0), upto_round + 1):
+            if self.store.exists("seen", j):
+                parts.append(
+                    self.store.read_snapshot(self.spark, "seen", j)
+                    .select("url_hash")
+                    .withColumn("__dr", F.lit(j))
+                )
+        if not parts:
+            return {}
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        wm = self.spark.createDataFrame(
+            [(int(b), int(v)) for b, v in sorted(folded.items())],
+            "__sb int, __folded int",
         )
-        return r
+        rows = (
+            df.withColumn("__sb", self._sbucket(F.col("url_hash")))
+            .join(F.broadcast(wm), "__sb", "left")
+            .filter(F.col("__dr") > F.coalesce(F.col("__folded"), F.lit(-1)))
+            .groupBy("__sb")
+            .count()
+            .collect()
+        )
+        return {int(x["__sb"]): int(x["count"]) for x in rows}
+
+    def _maybe_compact_seen(self, r: int) -> dict:
+        """Every K rounds, fold ONLY the sbuckets whose unfolded delta
+        exceeds ``seen_compact_dirty_frac`` of their base rows (or whose
+        watermark lags > ``seen_compact_max_lag`` compactions) into
+        per-bucket base dirs — the seen analog of incremental pending
+        compaction (VERDICT r2 watch item: at 10^10 fetched rows a
+        full-table base rewrite every K rounds is the worst round's
+        cost; dirty-bucket folding bounds it to O(active buckets)).
+        Returns the commit-meta updates (carried forward unchanged on
+        non-compaction rounds). Round r's just-written (uncommitted)
+        delta is inside the fold window — dropping it would lose a
+        round of discoveries from the base."""
+        cfg, store = self.cfg, self.store
+        prev = store.meta(r - 1)
+        state = self._seen_state_of(prev)
+        carry = {
+            k: prev.get(k)
+            for k in (
+                "seen_manifest",
+                "seen_folded",
+                "seen_bucket_rows",
+                "seen_base_round",
+            )
+            if prev.get(k) is not None
+        }
+        if not cfg.compact_seen_every or r % cfg.compact_seen_every != 0:
+            carry["seen_rewritten"] = 0
+            return carry
+        if state is None:
+            # pre-incremental store: fold EVERYTHING once (same cost as
+            # the old full rewrite), then incremental from here on
+            full = self._read_seen_legacy(r - 1)
+            if store.exists("seen", r):
+                full = full.unionByName(store.read_snapshot(self.spark, "seen", r))
+            assembled = full.withColumn(
+                "sbucket", self._sbucket(F.col("url_hash"))
+            ).persist()
+            written = store.write_bucketed(
+                assembled.repartition(cfg.fetch_tasks, "sbucket", "url_hash"),
+                "seen_base",
+                r,
+                bucket_col="sbucket",
+            )
+            counts = {
+                int(x["sbucket"]): int(x["count"])
+                for x in assembled.groupBy("sbucket").count().collect()
+            }
+            assembled.unpersist()
+            folded = {b: r for b in folded}
+            return {
+                "seen_manifest": {b: r for b in written},
+                "seen_folded": folded,
+                "seen_bucket_rows": counts,
+                "seen_base_round": r,
+                "seen_rewritten": sum(counts.values()),
+            }
+        manifest, folded, brows = ({**d} for d in state)
+        dirty = self._seen_delta_counts(folded, r)
+        # sbuckets hash url_hash UNIFORMLY (unlike pending's host-keyed
+        # buckets), so every bucket's delta/base ratio crosses the
+        # threshold at the same time — without staggering, compactions
+        # would fold the whole table in one burst. Round-robin cohorts
+        # fold each bucket once per max_lag compactions, bounding BOTH
+        # the watermark lag (≤ max_lag×K rounds) and the worst single
+        # compaction (≈ 1/max_lag of the table + threshold-triggered
+        # hot buckets); lag_floor stays as a safety net across cadence
+        # changes.
+        lag = max(1, cfg.seen_compact_max_lag)
+        cohort = (r // cfg.compact_seen_every) % lag
+        lag_floor = r - lag * cfg.compact_seen_every
+        fold_set = {
+            b
+            for b, c in dirty.items()
+            if c > cfg.seen_compact_dirty_frac * brows.get(b, 0)
+            or b % lag == cohort
+            or folded.get(b, -1) < lag_floor
+        }
+        for b in folded:
+            if b not in dirty:
+                folded[b] = r  # clean bucket: free watermark advance
+        base_round = carry.get("seen_base_round")
+        if fold_set:
+            assembled = (
+                self._read_seen_for_fold(manifest, folded, r, fold_set)
+                .withColumn("sbucket", self._sbucket(F.col("url_hash")))
+                .persist()
+            )
+            written = store.write_bucketed(
+                assembled.repartition(cfg.fetch_tasks, "sbucket", "url_hash"),
+                "seen_base",
+                r,
+                bucket_col="sbucket",
+            )
+            counts = {
+                int(x["sbucket"]): int(x["count"])
+                for x in assembled.groupBy("sbucket").count().collect()
+            }
+            assembled.unpersist()
+            for b in fold_set:
+                folded[b] = r
+                manifest.pop(b, None)
+                brows[b] = 0
+            for b in written:
+                manifest[b] = r
+            brows.update(counts)
+            base_round = r
+        return {
+            "seen_manifest": manifest,
+            "seen_folded": folded,
+            "seen_bucket_rows": brows,
+            "seen_base_round": base_round,
+            # O(dirty-buckets) evidence, seen analog of pending_rewritten
+            "seen_rewritten": sum(counts.values()) if fold_set else 0,
+        }
+
+    def _read_seen_for_fold(
+        self,
+        manifest: dict[int, int],
+        folded: dict[int, int],
+        upto_round: int,
+        buckets: set[int],
+    ) -> DataFrame:
+        """Assemble the full seen content of ``buckets`` up to and
+        including round ``upto_round`` (whose delta is not committed
+        yet): their base dirs ∪ their unfolded deltas."""
+        man = {b: v for b, v in manifest.items() if b in buckets}
+        fol = {b: v for b, v in folded.items() if b in buckets}
+        parts = []
+        base = self.store.read_buckets(
+            self.spark, "seen_base", man, bucket_col="sbucket"
+        )
+        if base is not None:
+            parts.append(base.select(*SEEN_COLS))
+        lo = min(fol.values(), default=upto_round)
+        adds = []
+        for j in range(max(lo + 1, 0), upto_round + 1):
+            if self.store.exists("seen", j):
+                adds.append(
+                    self.store.read_snapshot(self.spark, "seen", j).withColumn(
+                        "__dr", F.lit(j)
+                    )
+                )
+        if adds:
+            add = adds[0]
+            for p in adds[1:]:
+                add = add.unionByName(p)
+            wm = self.spark.createDataFrame(
+                [(int(b), int(v)) for b, v in sorted(fol.items())],
+                "__sb int, __folded int",
+            )
+            add = (
+                add.withColumn("__sb", self._sbucket(F.col("url_hash")))
+                .join(F.broadcast(wm), "__sb", "inner")  # inner: only fold_set
+                .filter(F.col("__dr") > F.col("__folded"))
+            )
+            parts.append(add.select(*SEEN_COLS))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def _maybe_compact_filters(self, r: int) -> int | None:
         """Filter-table analog of seen compaction: OR-merge all delta
@@ -732,11 +999,18 @@ class CrawlEngine:
         if n_fetched == 0:
             # nothing dequeued → pending unchanged; carry the manifest
             # forward instead of rewriting any bucket
+            seen_carry = {
+                k: prev_meta.get(k)
+                for k in ("seen_manifest", "seen_folded", "seen_bucket_rows",
+                          "seen_base_round", "seen_buckets")
+                if prev_meta.get(k) is not None
+            }
             store.commit(r, {"fetched_total": fetched_total, "pending": prev_pending_n,
                              "pending_manifest": prev_manifest,
                              "pending_compact_round": min(prev_folded.values(), default=r - 1),
                              "pending_folded": prev_folded,
                              "pending_bucket_rows": prev_brows,
+                             **seen_carry,
                              "fetched_round": 0})
             return {"fetched": 0, "stop": True}
         # NOTE: no separate crawl-log write — the pages table already
@@ -822,11 +1096,18 @@ class CrawlEngine:
             # base rows (or whose watermark lags > max_lag compactions)
             # — a compaction touches O(dirty buckets), never the table.
             dirty = self._pending_delta_counts(folded, r)
-            lag_floor = r - cfg.pending_compact_max_lag * cfg.pending_compact_every
+            # cohort staggering (see _maybe_compact_seen): if activity
+            # is uniform over host buckets, all cross the threshold
+            # together — the round-robin cohort bounds the worst
+            # compaction round to ~1/max_lag of the table
+            lag = max(1, cfg.pending_compact_max_lag)
+            cohort = (r // cfg.pending_compact_every) % lag
+            lag_floor = r - lag * cfg.pending_compact_every
             fold_set = {
                 b
                 for b, c in dirty.items()
                 if c > cfg.pending_compact_dirty_frac * brows.get(b, 0)
+                or b % lag == cohort
                 or folded.get(b, -1) < lag_floor
             }
             # clean buckets advance their watermark for free: no deltas
@@ -888,10 +1169,7 @@ class CrawlEngine:
                 )
                 self._bloom_bc_stale = True
             tick("bloom_delta_build")
-        base = self._maybe_compact_seen(r)
-        if base is None:
-            # carry the latest base forward so resume finds it
-            base = self.store.meta(r - 1).get("seen_base_round")
+        seen_meta = self._maybe_compact_seen(r)  # fold or carry forward
         fbase = self._maybe_compact_filters(r)
         if fbase is None:
             fbase = self.store.meta(r - 1).get("filters_base_round")
@@ -908,11 +1186,11 @@ class CrawlEngine:
                 "pending_bucket_rows": brows,
                 "fetched_round": n_fetched,
                 "metrics": metrics,
-                "seen_base_round": base,
-                # modulus in effect this round — the pruned read checks
-                # it against the base's compaction round before trusting
-                # the on-disk sbucket partition values
-                "seen_buckets": cfg.seen_buckets,
+                **seen_meta,
+                # modulus in effect (pinned at round 0 — _sb_mod); the
+                # legacy pruned read checks it against the base's
+                # compaction round before trusting on-disk sbucket dirs
+                "seen_buckets": self._sb_mod(),
                 "filters_base_round": fbase,
                 # O(delta) evidence: pending rows rewritten this round
                 # (0 except compaction rounds) — the bench's
@@ -924,6 +1202,7 @@ class CrawlEngine:
             "fetched": n_fetched,
             "pending": n_pending,
             "pending_rewritten": pending_rewritten,
+            "seen_rewritten": seen_meta.get("seen_rewritten", 0),
             "pending_before": prev_pending_n,
             "stop": n_pending == 0,
         }
@@ -960,7 +1239,8 @@ class CrawlEngine:
                 {"round": r, "seconds": round(_time.time() - t0, 2),
                  "fetched": out.get("fetched", 0),
                  "pending_before": out.get("pending_before"),
-                 "pending_rewritten": out.get("pending_rewritten")}
+                 "pending_rewritten": out.get("pending_rewritten"),
+                 "seen_rewritten": out.get("seen_rewritten")}
             )
             stats["rounds"] = r
             if out.get("stop"):

@@ -78,27 +78,27 @@ def test_bucket_pruned_seen_probe_is_exact(spark, tmp_path):
     base_dir = os.path.join(eng.store.root, "seen_base", f"round={base_round}")
     parts = [p for p in os.listdir(base_dir) if p.startswith("sbucket=")]
     assert parts, "compacted seen base must be sbucket-partitioned"
-    # and the pruning reaches the SCAN: the bucket filter must appear
-    # as a PartitionFilter (directories never opened), not a post-scan
-    # predicate
-    import contextlib
-    import io
-
+    # and the pruning reaches the SCAN: with the incremental manifest
+    # layout the bucket filter is PATH-level — only the filtered
+    # buckets' sbucket= leaf dirs are ever handed to the reader (other
+    # dirs aren't even listed, stronger than a PartitionFilter) — so
+    # every base file backing the plan lives under sbucket=1 or =3
     pruned = eng._read_seen(eng.store.last_round(), bucket_filter=[1, 3])
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        pruned.explain("formatted")
-    plan = buf.getvalue()
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert any("sbucket" in ln and "(1,3)" in ln.replace(" ", "") for ln in pf), pf
+    base_files = [f for f in pruned.inputFiles() if "/seen_base/" in f]
+    assert base_files, "pruned read must still scan base dirs"
+    assert all(
+        "/sbucket=1/" in f or "/sbucket=3/" in f for f in base_files
+    ), base_files
 
 
 def test_resume_with_different_seen_buckets_is_exact(spark, tmp_path):
     """Resuming with a different seen_buckets modulus must NOT trust
     the old base's on-disk sbucket partition values (pruning with
     new-modulus bucket ids against old-modulus partitions would
-    silently miss seen URLs → re-fetch duplicates). The read falls back
-    to the whole base until the next compaction rewrites it."""
+    silently miss seen URLs → re-fetch duplicates). The modulus is
+    PINNED in round-0 meta (like the bloom geometry): the resumed
+    engine keeps bucketing with the build-time value and the changed
+    config is ignored."""
     def cfg(rounds, buckets):
         return EngineConfig(
             state_dir=str(tmp_path / "m"), world=WORLD, max_rounds=rounds,
@@ -110,6 +110,7 @@ def test_resume_with_different_seen_buckets_is_exact(spark, tmp_path):
     first.run()  # compactions at 2 and 4 with modulus 8
     second = CrawlEngine(spark, cfg(9, buckets=4))  # resume, new modulus
     second.run()
+    assert second._sb_mod() == 8  # pinned build-time modulus wins
 
     full = CrawlEngine(
         spark,
@@ -123,3 +124,40 @@ def test_resume_with_different_seen_buckets_is_exact(spark, tmp_path):
     got = sorted(r["canon_url"] for r in second.seen().collect())
     want = sorted(r["canon_url"] for r in full.seen().collect())
     assert got == want  # no duplicates, no misses
+
+
+def test_incremental_seen_compaction_mixed_manifest(spark, tmp_path):
+    """Seen analog of incremental pending compaction: with activity
+    concentrated in few hosts, later compactions fold only buckets
+    with unfolded deltas — the manifest ends up holding base dirs from
+    more than one round — while dedupe stays exact vs the oracle."""
+    from nightcrawlercmd_spark.sources.corpus import WorldConfig as WC
+
+    world = WC(
+        n_hosts=40, base_pages=10, hot_factor=2,
+        p_same=0.97, p_cross=0.97, p_offsite=0.97,
+        seeds_lo=1, seeds_hi=2, budget_lo=6, budget_hi=8, tag="t-seeninc",
+    )
+    eng = CrawlEngine(
+        spark,
+        EngineConfig(
+            state_dir=str(tmp_path / "si"), world=world, max_rounds=6,
+            round_capacity=12, fetch_tasks=8, compact_seen_every=2,
+            seen_buckets=32, seen_prune_min_total=0,
+            # sbuckets are url_hash-uniform, so in a young crawl every
+            # bucket crosses any small dirty threshold together; a high
+            # frac isolates the cohort staggering (≈1/max_lag of the
+            # table per compaction after the first full fold)
+            seen_compact_dirty_frac=10.0,
+        ),
+    )
+    eng.run()
+    meta = eng.store.meta(eng.store.last_round())
+    manifest = {int(k): int(v) for k, v in meta["seen_manifest"].items()}
+    folded = {int(k): int(v) for k, v in meta["seen_folded"].items()}
+    assert len(set(manifest.values())) > 1, manifest  # mixed-round bases
+    assert all(folded[b] >= v for b, v in manifest.items())
+    sim = simulate(world, max_rounds=6, round_capacity=12)
+    got = [(r["round"], r["seq"], r["canon_url"]) for r in eng.crawl_log().collect()]
+    assert got == [(r, s, u) for r, s, u, _ in sim.log]
+    assert {r["canon_url"] for r in eng.seen().collect()} == set(sim.seen)
