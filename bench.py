@@ -393,7 +393,17 @@ def main() -> None:
             json.dump(out, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(compact_summary(out)))
+    comp = compact_summary(out)
+    line = json.dumps(comp)
+    if len(line) > 1900:  # still over the tail budget: shrink queries
+        q = comp.get("queries") or {}
+        comp["queries"] = {
+            "n": len(q),
+            "total_sec": round(sum(q.values()), 2),
+            **dict(sorted(q.items(), key=lambda kv: -kv[1])[:3]),
+        }
+        line = json.dumps(comp)
+    print(line)
 
 
 _RUN_KEYS = ("cpus", "urls", "seconds", "urls_per_sec",

@@ -96,12 +96,15 @@ def simulate_port_scan(
     default is the filtered view)."""
     if port_list is not None:
         if isinstance(port_list, str):
+            import re as _re
+
             parsed = []
             for tok in port_list.split(","):
-                try:
+                # Go strconv.Atoi semantics: optional sign + digits
+                # only — no whitespace, no '8_0' (Python int() would
+                # accept both); errors are skipped (toPortList)
+                if _re.fullmatch(r"[+-]?[0-9]+", tok):
                     parsed.append(int(tok))
-                except ValueError:
-                    continue  # toPortList: Atoi errors are skipped
         else:
             parsed = [int(p) for p in port_list]
         ports = spark.createDataFrame(

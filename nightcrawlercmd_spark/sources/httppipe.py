@@ -71,8 +71,14 @@ def pipe_request(req: RawRequest, endpoint: str, timeout: float = 30.0) -> dict:
     try:
         headers = dict(req.headers)
         body = req.body.encode() if req.body else None
-        if body is not None and "content-length" not in headers:
+        # ALWAYS recompute content-length: parse_raw_request normalizes
+        # CRLF→LF in the body, so a preserved original header can
+        # overstate the length — the server would block waiting for
+        # bytes that never come (then time out or 400)
+        if body is not None:
             headers["content-length"] = str(len(body))
+        else:
+            headers.pop("content-length", None)
         conn.request(req.method, req.path, body=body, headers=headers)
         resp = conn.getresponse()
         return {

@@ -227,6 +227,7 @@ class CrawlEngine:
         self._bloom_bc = None  # current broadcast generation (broadcast mode)
         self._bloom_bc_stale = True
         self._bc_generations = 0  # observability: broadcasts created so far
+        self._sb_mod_cache: int | None = None  # pinned seen_buckets (_sb_mod)
 
     # ------------------------------------------------------------ init ----
 
@@ -468,11 +469,17 @@ class CrawlEngine:
         to different buckets than the persisted base dirs and fold
         watermarks assume — pruned probes and watermark filtering would
         silently miss seen URLs. Config changes take effect only on a
-        fresh store."""
+        fresh store. Cached once round 0 exists — it is immutable by
+        construction, and _sbucket sits on the per-round hot path."""
+        if self._sb_mod_cache is not None:
+            return self._sb_mod_cache
         try:
-            return self.store.meta(0).get("seen_buckets", self.cfg.seen_buckets)
+            self._sb_mod_cache = self.store.meta(0).get(
+                "seen_buckets", self.cfg.seen_buckets
+            )
+            return self._sb_mod_cache
         except FileNotFoundError:
-            return self.cfg.seen_buckets
+            return self.cfg.seen_buckets  # pre-init: don't cache yet
 
     def _sbucket(self, col):
         return F.pmod(col, F.lit(self._sb_mod())).cast("int")
@@ -690,10 +697,9 @@ class CrawlEngine:
                 for x in assembled.groupBy("sbucket").count().collect()
             }
             assembled.unpersist()
-            folded = {b: r for b in folded}
             return {
                 "seen_manifest": {b: r for b in written},
-                "seen_folded": folded,
+                "seen_folded": {b: r for b in range(self._sb_mod())},
                 "seen_bucket_rows": counts,
                 "seen_base_round": r,
                 "seen_rewritten": sum(counts.values()),
@@ -1179,8 +1185,11 @@ class CrawlEngine:
                 "fetched_total": fetched_total + n_fetched,
                 "pending": n_pending,
                 "pending_manifest": manifest,
-                # uniform lower bound kept for pre-incremental readers;
-                # the true per-bucket watermark is pending_folded
+                # informational uniform lower bound; the true per-bucket
+                # watermark is pending_folded. NOTE: downgrading a store
+                # to pre-incremental code is NOT supported — an old
+                # reader has no watermark filter and would double-count
+                # deltas already folded into newer per-bucket bases
                 "pending_compact_round": min(folded.values(), default=r),
                 "pending_folded": folded,
                 "pending_bucket_rows": brows,

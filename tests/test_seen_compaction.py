@@ -161,3 +161,52 @@ def test_incremental_seen_compaction_mixed_manifest(spark, tmp_path):
     got = [(r["round"], r["seq"], r["canon_url"]) for r in eng.crawl_log().collect()]
     assert got == [(r, s, u) for r, s, u, _ in sim.log]
     assert {r["canon_url"] for r in eng.seen().collect()} == set(sim.seen)
+
+
+def test_upgrade_from_pre_incremental_store(spark, tmp_path):
+    """A store whose commit metas predate the incremental seen layout
+    (no seen_folded/seen_manifest keys — simulated by stripping them)
+    must resume via the legacy read path, then the first compaction
+    folds everything once into the per-bucket layout, and the finished
+    crawl still matches an uninterrupted fresh run."""
+    import json
+    import os
+
+    state = str(tmp_path / "up")
+    CrawlEngine(
+        spark,
+        EngineConfig(state_dir=state, world=WORLD, max_rounds=4,
+                     fetch_tasks=4, compact_seen_every=0),
+    ).run()
+    # forge pre-incremental metas: drop the new keys from every commit
+    cdir = os.path.join(state, "_commits")
+    for fn in os.listdir(cdir):
+        p = os.path.join(cdir, fn)
+        with open(p) as f:
+            meta = json.load(f)
+        for k in ("seen_manifest", "seen_folded", "seen_bucket_rows"):
+            meta.pop(k, None)
+        with open(p, "w") as f:
+            json.dump(meta, f)
+
+    second = CrawlEngine(
+        spark,
+        EngineConfig(state_dir=state, world=WORLD, max_rounds=9,
+                     fetch_tasks=4, compact_seen_every=3),
+    )
+    second.run()  # round 6 compaction runs the legacy full-fold branch
+    last = second.store.last_round()
+    assert second.store.meta(last).get("seen_folded") is not None  # upgraded
+
+    full = CrawlEngine(
+        spark,
+        EngineConfig(state_dir=str(tmp_path / "uf"), world=WORLD, max_rounds=9,
+                     fetch_tasks=4, compact_seen_every=3),
+    )
+    full.run()
+    a = [(r["round"], r["seq"], r["canon_url"]) for r in second.crawl_log().collect()]
+    b = [(r["round"], r["seq"], r["canon_url"]) for r in full.crawl_log().collect()]
+    assert a == b
+    got = sorted(r["canon_url"] for r in second.seen().collect())
+    want = sorted(r["canon_url"] for r in full.seen().collect())
+    assert got == want
