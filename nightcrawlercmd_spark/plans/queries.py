@@ -1322,13 +1322,27 @@ def q_crawl_e2e(spark, sf):
 
 
 def q_multimodal_decode(spark, sf):
-    """Image decode/feature plumbing over the payload table."""
+    """Image decode/feature plumbing over the payload table.
+
+    Self-validating (rows-only query, crawl_e2e pattern): every row
+    carries ``decode_ok`` — lossless formats (rgb8/png) must re-derive
+    the generator's stored phash EXACTLY; the lossy format (dctq) must
+    meet the ≥40 dB north-rule PSNR invariant with phash drift ≤ 8 of
+    64 bits (measured ≤ 6 on this corpus) — so a codec regression
+    shows up in the driver's value hash, not just in pytest."""
     from ..sources.corpus import WorldConfig, all_page_urls, images_pdf
 
     world = WorldConfig(n_hosts=3, base_pages=6, hot_factor=2, tag="drv-img")
     pdf = images_pdf(world, all_page_urls(world))
     images = spark.createDataFrame(pdf)
-    return MM.decode_features(images, n_tasks=8)
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("phash_rederived")))
+    return MM.decode_features(images, n_tasks=8).withColumn(
+        "decode_ok",
+        F.when(
+            F.col("fmt") == "dctq",
+            (F.col("psnr_vs_reencode") >= 40.0) & (ham <= 8),
+        ).otherwise(F.col("phash") == F.col("phash_rederived")),
+    )
 
 
 def q_multimodal_thumbs(spark, sf):
@@ -1362,13 +1376,27 @@ def q_audio_features(spark, sf):
 
 
 def q_ann_lsh_topk(spark, sf):
+    """Self-validating (rows-only): each LSH-retrieved row carries
+    ``in_brute_topk`` — membership in the exact brute-force top-10,
+    computed in the same query — so retrieval-recall drift shows up in
+    the driver's value hash (the pytest recall test covers the
+    threshold; this documents per-row ground truth)."""
     emb = _t(spark, sf, "embeddings")
-    dim = len(_query_vec(spark, sf))
+    qv = _query_vec(spark, sf)
+    dim = len(qv)
     # few planes + wide probe: the synthetic embeddings are weakly
     # clustered (top-10 cosine ≈ 0.3-0.5), so recall needs a generous
     # candidate set; denser real embeddings would use more planes
     planes = ANN.deterministic_planes(dim, n_planes=4)
-    return ANN.lsh_topk(emb, _query_vec(spark, sf), planes, k=10, probe_hamming=2)
+    lsh = ANN.lsh_topk(emb, qv, planes, k=10, probe_hamming=2)
+    brute = ANN.brute_force_topk(emb, qv, k=10).select(
+        F.col("vec_id").alias("__b_vid")
+    )
+    return (
+        lsh.join(F.broadcast(brute), lsh["vec_id"] == F.col("__b_vid"), "left")
+        .withColumn("in_brute_topk", F.col("__b_vid").isNotNull())
+        .drop("__b_vid")
+    )
 
 
 def q_fuzzer_generate(spark, sf):
