@@ -84,6 +84,17 @@ def test_resume_ignores_uncommitted_partial_round(spark, tmp_path):
             pa.table({"canon_url": ["http://junk.test/x"], "url_hash": [123]}),
             os.path.join(d, "junk.parquet"),
         )
+    # and a crash AFTER an incremental compaction wrote its bucket dirs
+    # but BEFORE the commit: the leftover base dirs are referenced by no
+    # manifest and must be ignored (or cleared by the re-run's static
+    # overwrite), never adopted
+    for table, bucket in (("seen_base", "sbucket"), ("pending_b", "pbucket")):
+        d = os.path.join(part_dir, table, "round=4", f"{bucket}=0")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"canon_url": ["http://junk.test/y"], "url_hash": [456]}),
+            os.path.join(d, "junk.parquet"),
+        )
     second = CrawlEngine(spark, _cfg(part_dir, max_rounds=8))
     second.run()
     assert _final_state(second) == _final_state(full)
