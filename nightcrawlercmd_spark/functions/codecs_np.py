@@ -183,14 +183,20 @@ def _resize_area(gray: np.ndarray, size: int = 32) -> np.ndarray:
 
 
 def phash64(img: np.ndarray) -> int:
-    """64-bit mean-DCT perceptual hash (signed int64, Spark BIGINT-safe)."""
+    """64-bit mean-DCT perceptual hash (signed int64, Spark BIGINT-safe).
+
+    All 64 hashed bits are AC coefficients: the low-frequency 8×8 block
+    minus DC, plus dct[0,8] as the 64th. The DC term (pure brightness,
+    ≈32×mean ≫ the AC median) is excluded from the hash as well as the
+    median — hashing it would pin one near-constant bit and silently
+    shrink the effective hash to 63 bits, skewing every
+    hamming-threshold calculation done over "64"."""
     gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     small = _resize_area(gray, 32)
     dct = _D32 @ small @ _D32.T
-    block = dct[:8, :8].copy()
-    flat = block.flatten()[1:]  # skip DC
-    med = np.median(flat)
-    bits = (block.flatten() > med).astype(np.uint64)
+    coeffs = np.concatenate([dct[:8, :8].flatten()[1:], [dct[0, 8]]])
+    med = np.median(coeffs)
+    bits = (coeffs > med).astype(np.uint64)
     v = 0
     for b in bits:
         v = (v << 1) | int(b)

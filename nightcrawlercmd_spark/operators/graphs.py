@@ -78,9 +78,14 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the old sweep's checkpoint blocks are dead once the changed
+        # check has consumed them — without this, ~diameter copies of
+        # the labels table pile up in block-manager storage
+        labels.unpersist()
         labels = new
         if changed == 0:
             break
+    sym.unpersist()  # the returned labels no longer reference the edges
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "

@@ -92,8 +92,16 @@ def crawl_budget(cfg: WorldConfig, host: str) -> int:
 
 
 def priority_of(canon_url: str, depth: int) -> float:
-    """Deterministic dequeue priority: shallower first, hash tie-spread."""
-    return round(1.0 / (1.0 + depth) + (h64(canon_url, "prio") % 1000) * 1e-6, 9)
+    """Deterministic dequeue priority: STRICTLY shallower-first, hash
+    tie-spread. The tie bonus is scaled to <100% of the gap to the next
+    depth band, 1/((1+d)(2+d)), so a bonus can never lift a deeper URL
+    above a shallower one at ANY depth (a flat 1e-3 bonus would cross
+    the band gap from depth 31 on). Shared verbatim by the engine,
+    fetch stage, and the sequential simulator — ordering parity holds
+    by construction."""
+    gap = 1.0 / ((1.0 + depth) * (2.0 + depth))
+    bonus = (h64(canon_url, "prio") % 1000) * 0.000999 * gap
+    return round(1.0 / (1.0 + depth) + bonus, 12)
 
 
 # ------------------------------------------------------------- robots -----
@@ -310,8 +318,14 @@ def gen_video(cfg: WorldConfig, video_id: str) -> tuple[bytes, int, int, int, in
     h = hint(16, 32, cfg.tag, video_id, "vh")
     n_frames = hint(8, 24, cfg.tag, video_id, "vn")
     fps = hchoice([10, 15, 30], cfg.tag, video_id, "vfps")
-    frames = [gen_video_frame(cfg, video_id, k, w, h) for k in range(n_frames)]
-    return b"".join(f.tobytes() for f in frames), w, h, n_frames, fps
+    # every frame is np.roll of the same base — compute the base once
+    # instead of re-deriving RNG noise per frame (gen_video_frame stays
+    # the independent per-frame oracle; byte-identical by construction)
+    base = gen_video_frame(cfg, video_id, 0, w, h)
+    return (
+        b"".join(np.roll(base, shift=k, axis=1).tobytes() for k in range(n_frames)),
+        w, h, n_frames, fps,
+    )
 
 
 def gen_video_frame(

@@ -45,6 +45,10 @@ def _monitor_fn(
     for pdf in batches:
         pages += len(pdf)
         errors += int(pdf["error"].notna().sum())
+        # EMA is order-sensitive; shuffle delivery order is not
+        # deterministic, so fold in a pinned order (canon_url) — the
+        # same pages always produce the same ema_resp_ms
+        pdf = pdf.sort_values("canon_url")
         for v in pdf["resp_ms"]:
             ema = float(v) if ema is None else (1 - _EMA_ALPHA) * ema + _EMA_ALPHA * float(v)
     nb += 1
@@ -70,7 +74,11 @@ def crawl_monitor(
     )
     if max_files_per_trigger:
         src = src.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    pages = src.parquet(f"{state_dir}/pages")
+    pages = src.parquet(f"{state_dir}/pages").select(
+        # prune BEFORE the state shuffle: the monitor needs 4 columns,
+        # not the body blobs / children structs of the full page rows
+        "host", "canon_url", "resp_ms", "error"
+    )
     stats = pages.groupBy("host").applyInPandasWithState(
         _monitor_fn,
         outputStructType=MONITOR_OUTPUT_SCHEMA,
@@ -88,26 +96,39 @@ def crawl_monitor(
     )
 
 
+def _events_stream_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stream source over the driver's events table.
+    events.parquet is a single file; the file stream source wants a
+    directory → stream the dir with a glob filter. testdata ts is
+    TIMESTAMP_NTZ; watermarks need TIMESTAMP (session TZ is pinned to
+    UTC so the instants are identical)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
 def events_windowed_counts_stream(
     spark: SparkSession, sf_dir: str, checkpoint: str, query_name: str = "ev_win"
 ):
     """10-minute tumbling windows over events.ts with a 5-minute
     watermark, per event_type; availableNow drains the parquet once."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # events.parquet is a single file; the file stream source wants a
-    # directory → stream the dir with a glob filter
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # testdata ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
-    # TZ is pinned to UTC so the instants are identical)
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = _events_stream_src(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "5 minutes")
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            # decimal sum: micro-batch accumulation order must not be
+            # able to move the result across the rounding boundary
+            # (same hardening as user_sessions_stream)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("win_start"), "event_type", "cnt", "sum_value"
         )
@@ -130,13 +151,7 @@ def user_sessions_stream(
     store does the merging across micro-batches). availableNow +
     append → once the stream drains, the memory sink equals the batch
     twin (plans/queries.q_sessionize_events)."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    src = _events_stream_src(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "1 minute")
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
@@ -168,6 +183,7 @@ def stream_dedup(
     schema,
     key_cols: tuple[str, ...] = ("event_id",),
     watermark: str = "30 minutes",
+    ts_col: str = "ts",
     query_name: str = "dedup_stream",
 ):
     """Streaming dedup with bounded state: emit the first occurrence of
@@ -181,8 +197,8 @@ def stream_dedup(
     src = (
         spark.readStream.schema(schema)
         .parquet(src_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", watermark)
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(list(key_cols))
     )
     return (
@@ -202,7 +218,15 @@ def events_windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            # decimal sum: micro-batch accumulation order must not be
+            # able to move the result across the rounding boundary
+            # (same hardening as user_sessions_stream)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
         .select(F.col("w.start").alias("win_start"), "event_type", "cnt", "sum_value")
     )
 
