@@ -68,7 +68,10 @@ import pandas as pd
 # Bump whenever round/ordering semantics change: deterministic state
 # dirs (e.g. q_crawl_e2e's) are salted with this so stale state from an
 # older engine version is never resumed.
-STATE_VERSION = 2
+# v3: priority_of tie-spread rescaled to the inter-depth gap (dequeue
+# ordering changed) — resuming v2 state would replay old-order rounds
+# against the new simulator and fail the self-validation column.
+STATE_VERSION = 3
 
 PENDING_COLS = [
     "canon_url",
