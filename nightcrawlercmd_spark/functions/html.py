@@ -14,12 +14,21 @@ import re
 
 import pandas as pd
 
-_HREF_RE = re.compile(r"""href\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
-_SRC_RE = re.compile(r"""src\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
-_TAG_RE = re.compile(r"<script.*?</script>|<style.*?</style>|<[^>]+>", re.DOTALL)
+# quote handling backreferences the OPENING quote — ["']...["'] would
+# let a value containing the other quote char terminate early
+# (href="/q?x=o'brien" must not truncate at the apostrophe)
+_HREF_RE = re.compile(r"""href\s*=\s*(["'])(.*?)\1""", re.IGNORECASE | re.DOTALL)
+_SRC_RE = re.compile(r"""src\s*=\s*(["'])(.*?)\1""", re.IGNORECASE | re.DOTALL)
+# IGNORECASE: <SCRIPT>/<STYLE> blocks must drop as BLOCKS (content and
+# all) — case-sensitive matching would strip only the tags and leak
+# script source into the text
+_TAG_RE = re.compile(
+    r"<script.*?</script>|<style.*?</style>|<[^>]+>",
+    re.DOTALL | re.IGNORECASE,
+)
 _WS_RE = re.compile(r"\s+")
 _FORM_RE = re.compile(r"<form\b([^>]*)>(.*?)</form>", re.IGNORECASE | re.DOTALL)
-_ATTR_RE = re.compile(r"""(\w+)\s*=\s*["']([^"']*)["']""")
+_ATTR_RE = re.compile(r"""(\w+)\s*=\s*(["'])(.*?)\2""", re.DOTALL)
 _INPUT_RE = re.compile(r"<input\b([^>]*)>", re.IGNORECASE)
 
 
@@ -34,21 +43,26 @@ def _as_text(body) -> str:
 def extract_hrefs(body) -> list[str]:
     """All href attribute values, document order, duplicates preserved
     (dedupe is a separate relational step — array_distinct / anti-join)."""
-    return _HREF_RE.findall(_as_text(body))
+    return [m.group(2) for m in _HREF_RE.finditer(_as_text(body))]
 
 
 def extract_srcs(body) -> list[str]:
-    return _SRC_RE.findall(_as_text(body))
+    return [m.group(2) for m in _SRC_RE.finditer(_as_text(body))]
 
 
 def extract_forms(body) -> list[dict]:
     """Forms with action/method + input names (reference pageReport.Forms,
     mainReport.go:44, consumed by the formtags report mainReport.go:243-259)."""
     out = []
+    def _attrs(fragment: str) -> dict:
+        # attribute NAMES are case-insensitive in HTML (goquery/x/net
+        # parse them lowercased); values keep their case
+        return {a.group(1).lower(): a.group(3) for a in _ATTR_RE.finditer(fragment)}
+
     for m in _FORM_RE.finditer(_as_text(body)):
-        attrs = dict(_ATTR_RE.findall(m.group(1)))
+        attrs = _attrs(m.group(1))
         inputs = [
-            dict(_ATTR_RE.findall(i.group(1))).get("name", "")
+            _attrs(i.group(1)).get("name", "")
             for i in _INPUT_RE.finditer(m.group(2))
         ]
         out.append(

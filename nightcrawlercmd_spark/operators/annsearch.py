@@ -52,6 +52,11 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10) -> Dat
 
 def hyperplane_signature(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
     """Deterministic random-hyperplane LSH signature (one int bucket)."""
+    if not planes:
+        raise ValueError(
+            "hyperplane_signature: need at least one plane (0 planes = "
+            "one bucket = brute force; call brute_force_topk instead)"
+        )
     e = F.col("embedding").cast("array<double>")
     sig = None
     for i, p in enumerate(planes):
@@ -146,20 +151,22 @@ def ivf_topk(
         cid for cid, _ in sorted(cents, key=lambda t: (-_drv_cos(t[1]), t[0]))[:nprobe]
     )
     v = F.col("v")
+    # the row norm is an O(dim) aggregate fold — compute it ONCE per row
+    # (column vn) instead of re-deriving it inside every centroid's
+    # when-branch (2 per centroid + 2 in the final sim ≈ 18 redundant
+    # folds per row at K=8 if Catalyst doesn't collapse them)
+    vn = F.col("vn")
     best = F.array_max(
         F.array(
             *[
                 F.struct(
                     F.coalesce(
                         F.when(
-                            (_norm(v) > 0)
+                            (vn > 0)
                             & (F.lit(math.sqrt(sum(x * x for x in c))) > 0),
                             F.round(
                                 _dot(v, F.array(*[F.lit(x) for x in c]))
-                                / (
-                                    _norm(v)
-                                    * F.lit(math.sqrt(sum(x * x for x in c)))
-                                ),
+                                / (vn * F.lit(math.sqrt(sum(x * x for x in c)))),
                                 6,
                             ),
                         ),
@@ -174,13 +181,14 @@ def ivf_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("vn", _norm(v))
         .withColumn("cell", (-best["ncid"]).cast("bigint"))
         .filter(F.col("cell").isin(probe_ids))
         .select(
             "vec_id",
             F.when(
-                _norm(v) * F.lit(qn) > 0,
-                F.round(_dot(v, q) / (_norm(v) * F.lit(qn)), 6),
+                vn * F.lit(qn) > 0,
+                F.round(_dot(v, q) / (vn * F.lit(qn)), 6),
             ).alias("sim"),
             "cell",
         )

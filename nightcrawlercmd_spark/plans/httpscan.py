@@ -57,12 +57,18 @@ def probe_matrix(spark: SparkSession, urls: DataFrame) -> DataFrame:
         .substr(F.instr(F.col("url"), "?") + F.lit(1), F.length("url"))
         .alias("query"),
     )
-    # O55: every query key × EVERY vector (the reference's query-param
-    # loop has no Section check, mainHttpScan.go:118-130)
+    # O55: every UNIQUE query key × EVERY vector — the reference
+    # iterates `for key := range u.Query()`, a url.Values MAP, so a
+    # repeated key (?a=1&a=2) probes once and an empty query ('?')
+    # probes nothing; no Section check (mainHttpScan.go:118-130).
+    # (Go's map order is nondeterministic; distinct keys give the same
+    # SET of probes deterministically.)
     params = (
         base.filter(F.col("url").contains("?"))
         .select("url", F.explode(F.split("query", "&")).alias("kv"))
+        .filter(F.length("kv") > 0)
         .select("url", F.substring_index("kv", "=", 1).alias("target"))
+        .distinct()
         .crossJoin(vecs)
         .select("url", F.lit("param").alias("kind"), "target", "vector", "test")
     )
@@ -73,16 +79,21 @@ def probe_matrix(spark: SparkSession, urls: DataFrame) -> DataFrame:
         .crossJoin(vecs)
         .select("url", F.lit("header").alias("kind"), "target", "vector", "test")
     )
-    # O57: every non-empty path segment × urlsegment-eligible vectors
-    # (O49). Section gates ONLY this branch, by substring containment —
-    # the reference matches strings.Index(vec.Section, "urlsegment"),
-    # so multi-valued sections like "header,urlsegment" qualify and
-    # NULL/empty sections do not.
+    # O57: every non-empty path segment × segment-eligible vectors
+    # (O49). Section gates ONLY this branch and only EXCLUDES vectors
+    # whose section is NON-EMPTY and lacks 'urlsegment'
+    # (mainHttpScan.go:151-153: `vec.Section != "" && !contains` →
+    # skip) — a NULL/empty section therefore QUALIFIES, and
+    # multi-valued sections like "header,urlsegment" qualify too.
     segments = (
         base.select("url", F.posexplode(F.split("path", "/")).alias("pos", "seg"))
         .filter(F.length("seg") > 0)
         .crossJoin(vecs)
-        .filter(F.coalesce(F.col("section"), F.lit("")).contains("urlsegment"))
+        .filter(
+            F.col("section").isNull()
+            | (F.col("section") == "")
+            | F.col("section").contains("urlsegment")
+        )
         .select(
             "url",
             F.lit("segment").alias("kind"),
@@ -103,11 +114,19 @@ def run_scan(spark: SparkSession, urls: DataFrame) -> DataFrame:
         for pdf in batches:
             out = pdf.copy()
             bodies, durs = [], []
-            for url, vector, test in zip(pdf["url"], pdf["vector"], pdf["test"]):
-                # ~12% of probes 'reflect' the test string
-                reflected = h64("scan", url, vector) % 8 == 0
-                bodies.append(f"<html>resp {h64('b', url) % 9999}" + (test if reflected else ""))
-                durs.append(hint(3, 120, "dur", url, vector))
+            for url, kind, target, vector, test in zip(
+                pdf["url"], pdf["kind"], pdf["target"], pdf["vector"], pdf["test"]
+            ):
+                # ~12% of probes 'reflect' the test string; keyed per
+                # PROBE (url, kind, target, vector) — the reference
+                # fires and times each request individually, so two
+                # probes of the same url+vector must not share a body
+                reflected = h64("scan", url, kind, target, vector) % 8 == 0
+                bodies.append(
+                    f"<html>resp {h64('b', url, kind, target) % 9999}"
+                    + (test if reflected else "")
+                )
+                durs.append(hint(3, 120, "dur", url, kind, target, vector))
             out["body"] = bodies
             out["duration_ms"] = durs
             yield out

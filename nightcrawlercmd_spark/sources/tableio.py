@@ -71,20 +71,24 @@ class StateStore:
     # ---- append tables ---------------------------------------------------
 
     def append(self, df: DataFrame, name: str, round_no: int) -> None:
-        df.write.mode("overwrite").parquet(self._dir(name, round_no))
+        # same write path as snapshots on purpose (a per-round append IS
+        # a snapshot of that round's delta); delegating keeps the two
+        # formats from drifting apart — e.g. under an Iceberg swap-in
+        self.write_snapshot(df, name, round_no)
 
     def read_appends(
         self, spark: SparkSession, name: str, upto_round: int
     ) -> DataFrame | None:
+        """Union of COMMITTED per-round dirs only: a crash mid-write
+        leaves a round dir with no commit marker, and adopting it would
+        break the module's crash-consistency protocol (the marker, not
+        directory existence, is the truth — same rule the engine's
+        resume follows)."""
         dirs = [
             self._dir(name, r)
             for r in self.committed_rounds()
             if r <= upto_round and os.path.isdir(self._dir(name, r))
         ]
-        # include the base round 0 dir even before any commit exists
-        base = self._dir(name, 0)
-        if os.path.isdir(base) and base not in dirs:
-            dirs.insert(0, base)
         if not dirs:
             return None
         return spark.read.parquet(*dirs)

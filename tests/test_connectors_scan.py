@@ -90,14 +90,27 @@ def test_httpscan_matrix_and_scan(spark):
     m = probe_matrix(spark, urls).collect()
     kinds = {(r["kind"]) for r in m}
     assert kinds == {"param", "header", "segment"}
-    # params: only url1 — 2 keys × ALL 5 vectors (the reference's
-    # query-param loop has no Section gate)
+    # params: only url1 — 2 UNIQUE keys × ALL 5 vectors (the reference
+    # iterates url.Values map keys; no Section gate)
     assert sum(1 for r in m if r["kind"] == "param") == 10
     # headers: 2 urls × 2 headers × ALL 5 vectors
     assert sum(1 for r in m if r["kind"] == "header") == 20
-    # segments: a,b + solo → 3 segments × the 2 vectors whose section
-    # CONTAINS 'urlsegment' (Section gates only this branch)
-    assert sum(1 for r in m if r["kind"] == "segment") == 6
+    # segments: a,b + solo → 3 segments × the 4 vectors NOT excluded by
+    # the gate (skip only section non-empty AND lacking 'urlsegment' —
+    # mainHttpScan.go:151-153 — so NULL-section vectors qualify; only
+    # the header-only vector is skipped)
+    assert sum(1 for r in m if r["kind"] == "segment") == 12
+
+    # reference quirks: a repeated key probes ONCE (url.Values map) and
+    # an empty query ('?') probes nothing
+    dup = spark.createDataFrame(
+        pd.DataFrame({"url": ["http://t.test/p?a=1&a=2", "http://t.test/q?"]}),
+        "url string",
+    )
+    dm = probe_matrix(spark, dup).collect()
+    ptargets = [(r["url"], r["target"]) for r in dm if r["kind"] == "param"]
+    assert ptargets.count(("http://t.test/p?a=1&a=2", "a")) == 5  # one key × 5 vectors
+    assert not any(u.endswith("q?") for u, _ in ptargets)  # empty query → none
     res = run_scan(spark, urls).collect()
     assert len(res) == len(m)
     html = render_html([r.asDict() for r in res[:5]])
