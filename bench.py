@@ -223,15 +223,21 @@ def frontier_growth(cpus: int) -> dict:
         n_hosts=6000,
         base_pages=200,
         hot_factor=2,
-        links_lo=6,
-        links_hi=10,
+        # MATURE-crawl regime (the 10^10 design point): a large seeded
+        # frontier with small per-round discovery, so per-bucket deltas
+        # are a small fraction of the bases — the regime where
+        # incremental compaction folds a subset instead of the table
+        # (a young doubling-every-round frontier folds everything, and
+        # should)
+        links_lo=2,
+        links_hi=3,
         # high per-host budgets vs the 1500/round capacity → each round
         # drains ~12 hosts (≈12 of 512 buckets), the realistic
         # "capacity ≪ frontier, crawl focuses sites" regime
         budget_lo=100,
         budget_hi=140,
-        seeds_lo=2,
-        seeds_hi=3,
+        seeds_lo=8,
+        seeds_hi=10,
         p_same=0.97,  # host-local links: discoveries stay in the
         p_cross=0.97,  # dequeued hosts' buckets
         p_offsite=0.97,
@@ -246,7 +252,10 @@ def frontier_growth(cpus: int) -> dict:
         cfg = EngineConfig(
             state_dir=state,
             world=world,
-            max_rounds=4,
+            # 7 rounds → TWO compactions (3 and 6): the first folds all
+            # dirty buckets (base sizes unknown), the SECOND shows the
+            # incremental behavior — only dirty/cohort buckets rewritten
+            max_rounds=7,
             round_capacity=1500,
             # 4 waves per stage at every parallelism: equal straggler
             # amortization across legs (2 waves on the high leg vs 4+
@@ -254,6 +263,19 @@ def frontier_growth(cpus: int) -> dict:
             fetch_tasks=max(8, cpus * 4),
             pending_buckets=64,
             pending_compact_every=3,
+            # miniature-scale calibration: this world's per-bucket
+            # delta/base ratio is ~0.15 per compaction window (64k
+            # frontier, 1500/round spread over ~all buckets by the
+            # global top-k); at the 10^10 design point the same ratio
+            # is ~0.01 — far below any threshold. 0.3 here puts the
+            # miniature in the same "delta ≪ base" regime so the
+            # compaction exercises the subset-fold path (threshold +
+            # 1/max_lag cohort) the design point would take.
+            pending_compact_dirty_frac=0.3,
+            # seen analog on the same cadence (url_hash buckets dirty
+            # uniformly → the second compaction is cohort-only)
+            compact_seen_every=3,
+            seen_compact_dirty_frac=0.3,
             use_bloom=True,
             expected_urls=1 << 17,
         )
@@ -456,6 +478,13 @@ def compact_summary(out: dict) -> dict:
                 r.get("rewrite_fraction")
                 for r in rounds
                 if (r.get("rewritten") or 0) > 0
+            ],
+            # seen analog: first compaction folds all (bases unknown),
+            # later ones only dirty/cohort buckets
+            "seen_rewrites": [
+                r.get("seen_rewritten")
+                for r in rounds
+                if (r.get("seen_rewritten") or 0) > 0
             ],
         }
     for ek in ("frontier_growth_error",):
