@@ -63,13 +63,20 @@ def page_features_udf(ruleset_path: str | None = None):
             raw = (
                 bytes(b).decode("utf-8", errors="replace") if b is not None else ""
             )
-            is_html = (ct or "").startswith("text/html")
+            ct_l = (ct or "").lower()
+            is_html = ct_l.startswith("text/html")
             # html-only features mirror the reference's mime gate
             # (mainReport.go:122-141): words come from the html2text'd
             # body, validation runs on the html source; a non-html page
             # gets empty lists there but still contributes raw-body
-            # URLs/IPs and its query keys below
-            text = html_to_text(b) if is_html else raw
+            # URLs/IPs and its query keys below. `text` (the wordlist
+            # tokenization source) is gated to text/* — a binary
+            # payload replacement-decoded to mojibake must not seed
+            # generated wordlists (ADVICE r3) — while the raw-body
+            # URL/IP extraction below still sees every page.
+            text = html_to_text(b) if is_html else (
+                raw if ct_l.startswith("text/") else ""
+            )
             rows.append(
                 {
                     "text": text,

@@ -107,6 +107,11 @@ def simulate_port_scan(
                     parsed.append(int(tok))
         else:
             parsed = [int(p) for p in port_list]
+        # Go's 64-bit Atoi keeps tokens like '4000000000' that the
+        # reference would then fail to dial; the 'port int' schema
+        # would crash on them instead (ADVICE r3) — drop anything
+        # outside the valid TCP port range before building the frame
+        parsed = [p for p in parsed if 0 <= p <= 65535]
         ports = spark.createDataFrame(
             [(p,) for p in parsed], "port int"
         )

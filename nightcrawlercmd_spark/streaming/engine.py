@@ -1284,9 +1284,44 @@ class CrawlEngine:
             .alias("round"),
             "canon_url", "status_code", "host", "depth", "priority",
         )
-        w = Window.partitionBy("round").orderBy(F.desc("priority"), F.asc("canon_url"))
+        # distributed per-round rank (VERDICT r3 item 9): a 10^8-page
+        # round must not sort in one task, so seq is computed as the
+        # standard range-partitioned rank — range-partition by the
+        # total order (round asc, priority desc, canon_url asc), rank
+        # WITHIN each (round, partition) slice, and add the count of
+        # the round's rows in earlier partitions. Range partitioning
+        # guarantees every row of partition i precedes every row of
+        # partition j>i in that order, so offset+rank is the exact
+        # global rank. The offset table is ≤ rounds×npart rows
+        # (broadcast); both consumers of `ranked` hang off the same
+        # range Exchange, which the planner reuses within the one
+        # final plan (spark.sql.exchange.reuse); even re-executed, the
+        # RangePartitioner's reservoir sampling is seeded
+        # deterministically from the upstream partition index, and the
+        # upstream here is a bare parquet scan — boundaries, and hence
+        # __pid, are stable across jobs in a session.
+        npart = max(16, self.spark.sparkContext.defaultParallelism)
+        order = [F.desc("priority"), F.asc("canon_url")]
+        ranked = (
+            df.repartitionByRange(npart, F.asc("round"), *order)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        w = Window.partitionBy("round", "__pid").orderBy(*order)
+        ranked = ranked.withColumn("__rk", F.row_number().over(w))
+        cum = (
+            Window.partitionBy("round")
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = (
+            ranked.groupBy("round", "__pid")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .withColumn("__off", F.coalesce(F.sum("__cnt").over(cum), F.lit(0)))
+            .select("round", "__pid", "__off")
+        )
         return (
-            df.withColumn("seq", F.row_number().over(w))
+            ranked.join(F.broadcast(offs), ["round", "__pid"])
+            .withColumn("seq", (F.col("__off") + F.col("__rk")).cast("int"))
             .select("round", "seq", "canon_url", "status_code", "host", "depth")
             .orderBy("round", "seq")
         )

@@ -149,3 +149,13 @@ def test_port_scan_explicit_list_and_show_closed(spark):
     assert sorted(map(tuple, open_only)) == sorted(
         tuple(r) for r in full if r["open"]
     )
+
+
+def test_port_scan_out_of_range_tokens_dropped(spark):
+    """ADVICE r3: tokens valid for Go's 64-bit Atoi but outside the
+    TCP port range ('4000000000', '-1', '70000') must be dropped, not
+    crash the int32 'port' schema."""
+    rows = simulate_port_scan(
+        spark, "h.test", port_list="22,4000000000,-1,70000,443"
+    ).collect()
+    assert sorted(r["port"] for r in rows) == [22, 443]

@@ -165,6 +165,47 @@ def test_range_join_is_binned_equi_join(spark):
     assert "_bin" in p  # bin key participates in the join
 
 
+def test_dequeue_per_host_two_level(spark):
+    """Per-host budget rank (VERDICT r3 item 1): the hot-host sort
+    must be two-level — rank inside (host, __hsalt) partitions, filter
+    to ≤ budget per salt, then the per-host window over survivors —
+    and exactly match the naive single per-host window (the order
+    (priority desc, canon_url asc) is unique per host, so the true
+    top-budget rows each rank ≤ budget inside their own salt)."""
+    from pyspark.sql import Window
+
+    from nightcrawlercmd_spark.operators.dequeue import dequeue
+
+    rows = [  # one hot host with duplicate priorities + small hosts
+        ("hot", f"http://hot.test/p{i:05d}", float((i * 7919) % 997))
+        for i in range(4000)
+    ]
+    rows += [
+        (f"h{j}", f"http://h{j}.test/q{i}", float(i))
+        for j in range(5)
+        for i in range(20)
+    ]
+    pending = spark.createDataFrame(
+        rows, "host string, canon_url string, priority double"
+    )
+    robots = spark.createDataFrame([("hot", 25)], "host string, crawl_budget int")
+    got = dequeue(pending, robots, default_budget=7, salts=8)
+    p = plan_of(got)
+    assert "__hsalt" in p and "__hrk" in p
+
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("canon_url"))
+    expect = (
+        pending.join(F.broadcast(robots), "host", "left")
+        .withColumn("budget", F.coalesce("crawl_budget", F.lit(7)))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("budget"))
+        .drop("__rk", "budget", "crawl_budget")
+    )
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in expect.collect())
+    assert len(a) == 25 + 5 * 7 and a == b
+
+
 def test_dequeue_max_take_two_level(spark):
     """max_take truncation (VERDICT r2 item 3): no single-partition
     window over the full dequeued set. The plan must rank inside

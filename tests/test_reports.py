@@ -100,6 +100,45 @@ def test_wordlist_pipeline_sorted_distinct(pages):
     assert toks == sorted(set(toks)) and toks
 
 
+def test_binary_pages_excluded_from_wordlist_text(spark):
+    """ADVICE r3: a binary payload replacement-decoded to mojibake
+    must not seed wordlist tokens, while its raw-body URLs/IPs still
+    reach the texturls/ips reports (mainReport.go:113-117 runs those
+    before the mime check)."""
+    from nightcrawlercmd_spark.plans.reports import page_reports
+
+    rows = [
+        (
+            "http://a.test/img.png",
+            b"\x89PNG\xff\xfe junkword http://hidden.test/x 10.0.0.7 \x00\xff",
+            "image/png",
+            200, 3, None, None,
+        ),
+        (
+            "http://a.test/readme.txt",
+            b"plainword http://plain.test/y",
+            "text/plain",
+            200, 3, None, None,
+        ),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "canon_url string, body binary, content_type string, "
+        "status_code int, resp_ms int, location string, error string",
+    )
+    feats = {r["canon_url"]: r for r in page_reports(pages).collect()}
+    png = feats["http://a.test/img.png"]
+    txt = feats["http://a.test/readme.txt"]
+    assert png["text"] == ""  # binary body never tokenized
+    assert "http://hidden.test/x" in png["text_urls"]  # raw extraction stays
+    assert "10.0.0.7" in png["text_ips"]
+    assert "plainword" in txt["text"]  # text/* keeps flowing
+    toks = set(
+        r["token"] for r in wordlist_pipeline(pages, ("word",)).collect()
+    )
+    assert "plainword" in toks and "junkword" not in toks
+
+
 def test_validate_html_golden():
     """O31: configurable ruleset validation with per-finding line
     numbers (reference htmlcheck + UpdateErrorLines shape)."""
