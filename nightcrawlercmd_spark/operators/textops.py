@@ -76,6 +76,41 @@ def extract_tokens(col: Column, extractor: str = "word") -> Column:
     raise ValueError(f"unknown extractor {extractor!r}; one of {EXTRACTORS}")
 
 
+def username_mutations(col: Column) -> Column:
+    """The wordlist `-mutator username` (VERDICT r3 item 4; reference
+    mainWordlist.go:125-152 ``usernameMutator``): split the line on
+    ``\\w+`` runs, then emit
+
+    * the words joined with each of ``"" _ . -`` (4 variants, always —
+      a single-word line yields just itself), and
+    * for every word position i when the line has ≥2 words: the words
+      with word i abbreviated to its first character
+      (``john smith`` → ``jsmith``), and with word i dropped
+      (``john paul smith`` → ``johnsmith``) — both joined with ``""``
+      like the reference's ``strings.Join(prev, "")`` forms.
+
+    Per-line de-dup mirrors the reference's variant map. Pure JVM:
+    explode(transform(...)) over the word array, no Python in the
+    path."""
+    w = F.regexp_extract_all(col, F.lit(r"\w+"), F.lit(0))
+    n = F.size(w)
+    joins = F.array(*[F.array_join(w, s) for s in ("", "_", ".", "-")])
+
+    def abbrev(i: Column) -> Column:
+        prev = F.array_join(F.slice(w, F.lit(1), i), "")
+        rest = F.array_join(F.slice(w, i + F.lit(2), n - i - F.lit(1)), "")
+        initial = F.element_at(w, i + F.lit(1)).substr(F.lit(1), F.lit(1))
+        return F.array(
+            F.concat(prev, initial, rest), F.concat(prev, rest)
+        )
+
+    abbrevs = F.when(
+        n >= 2,
+        F.flatten(F.transform(F.sequence(F.lit(0), n - 1), abbrev)),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    return F.array_distinct(F.concat(joins, abbrevs))
+
+
 def md5i(col: Column) -> Column:
     """Deterministic 32-bit-ish integer hash, identical in DuckDB:
     cast(('0x' || substr(md5(x),1,8)) as bigint)."""

@@ -218,14 +218,22 @@ def run_report_suite(pages: DataFrame, out_dir: str | None = None) -> dict[str, 
 # ---- wordlist-subcommand analog (mainWordlist.go) --------------------------
 
 def wordlist_pipeline(
-    pages: DataFrame, extractors: tuple[str, ...] = ("word", "url")
+    pages: DataFrame,
+    extractors: tuple[str, ...] = ("word", "url"),
+    mutator: str | None = None,
 ) -> DataFrame:
     """The `wordlist` subcommand: run the selected extractors over the
     page text, lower+trim each token, distinct-union, lexicographic
     sort (mainWordlist.go:78-103,155-224). The reference's `-extractor`
     switch selects ONE mode per run; passing several here unions them
-    (each mode is the reference-faithful extraction, O25-O28)."""
-    from ..operators.textops import extract_tokens
+    (each mode is the reference-faithful extraction, O25-O28).
+
+    ``mutator="username"`` replaces the extracted tokens with their
+    username permutations before the final distinct, exactly where the
+    reference's ``permute`` sits between ``findAllWords`` and the
+    template loop (mainWordlist.go:78,105-123) — the original token
+    survives only as its own ""-join variant."""
+    from ..operators.textops import extract_tokens, username_mutations
 
     reports = page_reports(pages)
     parts = [
@@ -235,6 +243,13 @@ def wordlist_pipeline(
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
+    out = out.select(F.lower(F.trim("token")).alias("token"))
+    if mutator == "username":
+        out = out.select(
+            F.explode(username_mutations(F.col("token"))).alias("token")
+        )
+    elif mutator is not None:
+        raise ValueError(f"unknown mutator {mutator!r}; one of ('username',)")
     return (
         out.select(F.lower(F.trim("token")).alias("token"))
         .filter(F.length("token") > 0)

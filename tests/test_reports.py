@@ -100,6 +100,54 @@ def test_wordlist_pipeline_sorted_distinct(pages):
     assert toks == sorted(set(toks)) and toks
 
 
+def test_username_mutator_golden(spark):
+    """Reference usernameMutator variant set (mainWordlist.go:125-152):
+    4 separator joins always; first-initial + dropped-word forms for
+    every position when the line has ≥2 words; per-line de-dup."""
+    from pyspark.sql import functions as F
+
+    from nightcrawlercmd_spark.operators.textops import username_mutations
+
+    df = spark.createDataFrame(
+        [("john paul smith",), ("john smith",), ("admin",), ("",)], "line string"
+    )
+    got = {
+        r["line"]: sorted(r["m"])
+        for r in df.select(
+            "line", username_mutations(F.col("line")).alias("m")
+        ).collect()
+    }
+    assert got["john paul smith"] == sorted(
+        {
+            "johnpaulsmith", "john_paul_smith", "john.paul.smith",
+            "john-paul-smith",
+            "jpaulsmith", "paulsmith",     # i=0: abbreviate / drop
+            "johnpsmith", "johnsmith",     # i=1
+            "johnpauls", "johnpaul",       # i=2
+        }
+    )
+    assert got["john smith"] == sorted(
+        {"johnsmith", "john_smith", "john.smith", "john-smith",
+         "jsmith", "smith", "johns", "john"}
+    )
+    assert got["admin"] == ["admin"]  # single word: no abbreviations
+    assert got[""] == [""]            # the reference's empty-map entry
+
+
+def test_wordlist_pipeline_username_mutator(pages):
+    """Wiring: permute sits between extraction and the final distinct
+    (mainWordlist.go:78). Single-word tokens mutate to themselves, so
+    the word-extractor pipeline is invariant under the mutator."""
+    base = [r["token"] for r in wordlist_pipeline(pages, ("word",)).collect()]
+    mut = [
+        r["token"]
+        for r in wordlist_pipeline(pages, ("word",), mutator="username").collect()
+    ]
+    assert base == mut and len(base) > 0
+    with pytest.raises(ValueError):
+        wordlist_pipeline(pages, ("word",), mutator="nope").collect()
+
+
 def test_binary_pages_excluded_from_wordlist_text(spark):
     """ADVICE r3: a binary payload replacement-decoded to mojibake
     must not seed wordlist tokens, while its raw-body URLs/IPs still
