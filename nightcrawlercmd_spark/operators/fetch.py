@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions import codecs_np as C
-from ..functions.html import extract_hrefs
+from ..functions.html import extract_hrefs, extract_srcs
 from ..functions.linkfilter import filter_hrefs
 from ..functions.urlnorm import resolve
 from ..sources.corpus import WorldConfig, fetch_one, gen_image, priority_of
@@ -140,6 +140,7 @@ def fetch_stage(
     strict_filters: bool = False,
     http_endpoint: str | None = None,
     no_new_links: bool = False,
+    load_resources: bool = False,
 ) -> DataFrame:
     """dequeued frontier rows → fetched pages (one row per URL).
 
@@ -147,6 +148,13 @@ def fetch_stage(
     canonicalization and child-priority all happen HERE, in one Arrow
     round-trip — the rest of the round (dedupe, filters, merge) is pure
     JVM. The page body crosses the Python boundary exactly once.
+
+    ``load_resources`` additionally enqueues resource URLs (img/script
+    src attributes) from 200 pages — the reference's `-load-resources`
+    (mainCrawler.go:55,191-196). Resources are appended AFTER the
+    follow/dont-follow filters and are never subject to them, and the
+    reference's no-new-links early return wins: no resources in that
+    mode (mainCrawler.go:165-173).
     """
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -203,6 +211,10 @@ def fetch_stage(
                     hrefs = filter_hrefs(
                         extract_hrefs(r["body"]), follow, dont_follow, strict_filters
                     )
+                    if load_resources:
+                        # unfiltered, appended after the href filters
+                        # (mainCrawler.go:191-196)
+                        hrefs = hrefs + extract_srcs(r["body"])
                 elif 300 <= r["status_code"] <= 307 and r["location"]:
                     hrefs = [r["location"]]  # redirect enqueue, O76 (never filtered)
                 else:

@@ -40,7 +40,9 @@ def vectors_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def probe_matrix(spark: SparkSession, urls: DataFrame) -> DataFrame:
+def probe_matrix(
+    spark: SparkSession, urls: DataFrame, scan_headers: bool = False
+) -> DataFrame:
     """urls(url string) × vectors → one probe per (url part, vector).
 
     Three branches (O55 params, O56 headers, O57 path segments), each a
@@ -73,12 +75,18 @@ def probe_matrix(spark: SparkSession, urls: DataFrame) -> DataFrame:
         .select("url", F.lit("param").alias("kind"), "target", "vector", "test")
     )
     # O56: every header × EVERY vector (no Section check in the header
-    # loop either, mainHttpScan.go:132-142)
-    headers = (
-        base.select("url", F.explode(F.array(F.lit("User-Agent"), F.lit("Referer"))).alias("target"))
-        .crossJoin(vecs)
-        .select("url", F.lit("header").alias("kind"), "target", "vector", "test")
-    )
+    # loop either, mainHttpScan.go:133-142) — but the whole branch is
+    # behind the `-scanheader` flag, default off
+    # (mainHttpScan.go:69,132: `if settings.ScanHTTPHeaders`;
+    # VERDICT r3 item 7)
+    if scan_headers:
+        headers = (
+            base.select("url", F.explode(F.array(F.lit("User-Agent"), F.lit("Referer"))).alias("target"))
+            .crossJoin(vecs)
+            .select("url", F.lit("header").alias("kind"), "target", "vector", "test")
+        )
+    else:
+        headers = None
     # O57: every non-empty path segment × segment-eligible vectors
     # (O49). Section gates ONLY this branch and only EXCLUDES vectors
     # whose section is NON-EMPTY and lacks 'urlsegment'
@@ -102,13 +110,20 @@ def probe_matrix(spark: SparkSession, urls: DataFrame) -> DataFrame:
             "test",
         )
     )
-    return params.unionByName(headers).unionByName(segments)
+    out = params
+    if headers is not None:
+        out = out.unionByName(headers)
+    return out.unionByName(segments)
 
 
-def run_scan(spark: SparkSession, urls: DataFrame) -> DataFrame:
+def run_scan(
+    spark: SparkSession, urls: DataFrame, scan_headers: bool = False
+) -> DataFrame:
     """Probe the matrix with the deterministic responder; flag bodies
-    containing the vector's test string (O35: instr(body, test) > 0)."""
-    matrix = probe_matrix(spark, urls)
+    containing the vector's test string (O35: instr(body, test) > 0).
+    ``scan_headers`` mirrors the reference's `-scanheader` CLI default
+    (off, mainHttpScan.go:69)."""
+    matrix = probe_matrix(spark, urls, scan_headers=scan_headers)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

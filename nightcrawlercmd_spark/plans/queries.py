@@ -1519,7 +1519,7 @@ def q_httpscan_matrix(spark, sf):
         [(f"http://scan{i:02d}.test/a/b{i}?x={i}&y=2",) for i in range(20)],
         "url string",
     )
-    return run_scan(spark, urls)
+    return run_scan(spark, urls, scan_headers=True)
 
 
 # =====================================================================

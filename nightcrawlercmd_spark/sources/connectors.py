@@ -23,11 +23,21 @@ from ..functions.determinism import h64, hint
 
 # ------------------------------------------------------------- DNS --------
 
+# public IANA RR type numbers (RFC 1035 §3.2.2 and successors) — the
+# reference resolves `-typeName` through the same mapping
+# (crawlbase.DnsTypesByName, mainDNS.go:33-34,48-55)
+DNS_TYPES_BY_NAME = {
+    "A": 1, "NS": 2, "CNAME": 5, "SOA": 6, "PTR": 12, "MX": 15,
+    "TXT": 16, "AAAA": 28, "SRV": 33, "ANY": 255,
+}
+
+
 def simulate_dns_sweep(
     spark: SparkSession,
     words: DataFrame,
     domain: str,
     history: DataFrame | None = None,
+    dns_type: str | int = 1,
 ) -> DataFrame:
     """word × domain template → resolve → found/not-found rows
     (O58 name build, O46 resume anti-join, O65 found aggregation).
@@ -38,7 +48,23 @@ def simulate_dns_sweep(
     ``word.domain.``, mainDNS.go:112) — the resume history set stores
     that form, so a dot-less build would anti-join against nothing and
     silently re-resolve every already-scanned name.
-    """
+
+    ``dns_type`` selects the query record type (VERDICT r3 item 6):
+    a name (`-typeName`, looked up in the public RR-type table; an
+    unknown name raises like the reference's log.Fatal,
+    mainDNS.go:48-55) or a number (`-typeNumber`, default 1 = A). The
+    responder keys its deterministic answers on (name, type), so an
+    AAAA sweep resolves a different subset than an A sweep — as
+    distinct record types do."""
+    if isinstance(dns_type, str):
+        if dns_type not in DNS_TYPES_BY_NAME:
+            raise ValueError(
+                f"dnsType {dns_type!r} not found; one of "
+                f"{sorted(DNS_TYPES_BY_NAME)}"
+            )
+        type_nr = DNS_TYPES_BY_NAME[dns_type]
+    else:
+        type_nr = int(dns_type)
     names = words.select(
         F.concat(F.trim("word"), F.lit("."), F.lit(domain), F.lit(".")).alias("name")
     ).filter(F.length(F.trim("word")) > 0).distinct()
@@ -49,24 +75,43 @@ def simulate_dns_sweep(
         for pdf in batches:
             rows = []
             for name in pdf["name"]:
-                # deterministic fake resolver: ~40% of names resolve
-                if h64("dns", name) % 5 < 2:
-                    n = hint(1, 3, "dnsn", name)
-                    entries = [
-                        f"10.{h64('ip', name, i) % 256}.{h64('ip2', name, i) % 256}."
-                        f"{h64('ip3', name, i) % 256}"
-                        for i in range(n)
-                    ]
+                # deterministic fake resolver: ~40% of (name, type)
+                # pairs resolve; answers are type-shaped (address for
+                # A/AAAA-style queries, target names for the rest)
+                if h64("dns", name, type_nr) % 5 < 2:
+                    n = hint(1, 3, "dnsn", name, type_nr)
+                    if type_nr == 28:
+                        entries = [
+                            "2001:db8::%x:%x"
+                            % (h64("ip6a", name, i) % 0x10000,
+                               h64("ip6b", name, i) % 0x10000)
+                            for i in range(n)
+                        ]
+                    elif type_nr in (1, 255):
+                        entries = [
+                            f"10.{h64('ip', name, i) % 256}."
+                            f"{h64('ip2', name, i) % 256}."
+                            f"{h64('ip3', name, i) % 256}"
+                            for i in range(n)
+                        ]
+                    else:
+                        entries = [
+                            f"rr{type_nr}-{h64('tgt', name, i) % 100:02d}.{name}"
+                            for i in range(n)
+                        ]
                 else:
                     entries = []
-                rows.append({"name": name, "entries": entries})
+                rows.append(
+                    {"name": name, "type_number": type_nr, "entries": entries}
+                )
             yield pd.DataFrame(rows)
 
     resolved = names.repartition(max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
-        resolve_batch, schema="name string, entries array<string>"
+        resolve_batch, schema="name string, type_number int, entries array<string>"
     )
     return resolved.select(
         "name",
+        "type_number",
         (F.size("entries") > 0).alias("found"),
         F.explode_outer("entries").alias("entry"),
     )

@@ -120,6 +120,9 @@ class EngineConfig:
     use_bloom: bool = True
     decode_images: bool = False  # fetch+decode image payloads per page
     no_new_links: bool = False  # O78: enqueue only redirect Locations
+    # -load-resources: also enqueue img/script src URLs from 200 pages
+    # (mainCrawler.go:55,191-196; unfiltered, loses to no_new_links)
+    load_resources: bool = False
     # O20/O40: substring filters on raw hrefs (reference -follow /
     # -dont-follow, mainCrawler.go:175-216; see functions/linkfilter.py)
     follow: list[str] | None = None
@@ -985,6 +988,7 @@ class CrawlEngine:
             strict_filters=cfg.strict_reference_filters,
             http_endpoint=cfg.http_endpoint,
             no_new_links=cfg.no_new_links,
+            load_resources=cfg.load_resources,
         )
         # free per-round metrics: observed during the write action itself
         from pyspark.sql import Observation

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..functions.html import extract_hrefs
+from ..functions.html import extract_hrefs, extract_srcs
 from ..functions.linkfilter import filter_hrefs
 from ..functions.urlnorm import canonicalize, host_of, resolve
 from ..sources.corpus import (
@@ -57,6 +57,7 @@ def simulate(
     follow: list[str] | None = None,
     dont_follow: list[str] | None = None,
     strict_reference_filters: bool = False,
+    load_resources: bool = False,
 ) -> SimResult:
     robots = {r["host"]: r["disallow_prefixes"] for r in robots_rows(world)}
     budgets = {h: crawl_budget(world, h) for h in robots}
@@ -124,6 +125,11 @@ def simulate(
                     dont_follow,
                     strict_reference_filters,
                 )
+                if load_resources:
+                    # -load-resources: unfiltered src URLs appended
+                    # after the href filters (mainCrawler.go:191-196);
+                    # the no-new-links early return wins over this
+                    hrefs = hrefs + extract_srcs(page["body"])
             elif 300 <= page["status_code"] <= 307 and page["location"]:
                 hrefs = [page["location"]]
             else:

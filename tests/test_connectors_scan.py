@@ -46,6 +46,31 @@ def test_dns_sweep_resume_and_classification(spark):
         assert r["found"] == (r["entry"] is not None)  # explode_outer
 
 
+def test_dns_sweep_record_types(spark):
+    """-typeName / -typeNumber (VERDICT r3 item 6, mainDNS.go:33-55):
+    name and number modes agree, the responder keys on the type (an
+    AAAA sweep differs from an A sweep), answers are type-shaped, and
+    an unknown name raises like the reference's log.Fatal."""
+    import pytest
+
+    words = spark.createDataFrame(
+        pd.DataFrame({"word": [f"w{i}" for i in range(40)]}), "word string"
+    )
+    by_name = simulate_dns_sweep(spark, words, "ex.test", dns_type="AAAA").collect()
+    by_nr = simulate_dns_sweep(spark, words, "ex.test", dns_type=28).collect()
+    assert sorted(map(tuple, by_name)) == sorted(map(tuple, by_nr))
+    assert all(r["type_number"] == 28 for r in by_name)
+    assert all(r["entry"].startswith("2001:db8::") for r in by_name if r["entry"])
+    a = simulate_dns_sweep(spark, words, "ex.test", dns_type="A").collect()
+    assert {r["name"] for r in a if r["found"]} != {
+        r["name"] for r in by_name if r["found"]
+    }
+    mx = simulate_dns_sweep(spark, words, "ex.test", dns_type="MX").collect()
+    assert all(r["entry"].startswith("rr15-") for r in mx if r["entry"])
+    with pytest.raises(ValueError):
+        simulate_dns_sweep(spark, words, "ex.test", dns_type="BOGUS")
+
+
 def test_port_scan_range(spark):
     rows = simulate_port_scan(spark, "h.test", 1, 256).collect()
     assert len(rows) == 256
@@ -87,9 +112,14 @@ def test_httpscan_matrix_and_scan(spark):
         pd.DataFrame({"url": ["http://t.test/a/b?x=1&y=2", "http://t.test/solo"]}),
         "url string",
     )
-    m = probe_matrix(spark, urls).collect()
+    m = probe_matrix(spark, urls, scan_headers=True).collect()
     kinds = {(r["kind"]) for r in m}
     assert kinds == {"param", "header", "segment"}
+    # -scanheader is a CLI opt-in (mainHttpScan.go:69,132): the default
+    # matrix must not contain the header branch at all
+    assert not any(
+        r["kind"] == "header" for r in probe_matrix(spark, urls).collect()
+    )
     # params: only url1 — 2 UNIQUE keys × ALL 5 vectors (the reference
     # iterates url.Values map keys; no Section gate)
     assert sum(1 for r in m if r["kind"] == "param") == 10
@@ -111,7 +141,7 @@ def test_httpscan_matrix_and_scan(spark):
     ptargets = [(r["url"], r["target"]) for r in dm if r["kind"] == "param"]
     assert ptargets.count(("http://t.test/p?a=1&a=2", "a")) == 5  # one key × 5 vectors
     assert not any(u.endswith("q?") for u, _ in ptargets)  # empty query → none
-    res = run_scan(spark, urls).collect()
+    res = run_scan(spark, urls, scan_headers=True).collect()
     assert len(res) == len(m)
     html = render_html([r.asDict() for r in res[:5]])
     assert html.startswith("<html>") and "<table>" in html
