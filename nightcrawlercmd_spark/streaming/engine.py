@@ -164,6 +164,23 @@ class EngineConfig:
     # max_lag_compactions × pending_compact_every rounds.
     pending_compact_dirty_frac: float = 0.1
     pending_compact_max_lag: int = 4
+    # priority-stat bucket pruning (VERDICT r3 item 2): when a round
+    # has a global capacity (round_capacity / max_pages remainder), the
+    # dequeue keeps only the top-capacity rows — so rounds need not
+    # READ pending buckets that cannot reach the cutoff. The commit
+    # meta carries per-bucket upper bounds (max priority / row count:
+    # exact at fold time, max/sum-updated with each round's delta,
+    # removals ignored — stale-high is still a sound bound). A round
+    # assembles the maxp-ranked bucket prefix holding ≥ slack×capacity
+    # candidate rows, dequeues it, and accepts iff the result is FULL
+    # and its minimum selected priority strictly beats every skipped
+    # bucket's bound — sound because pbucket is a pure function of
+    # host, so per-host budget ranks are bucket-local. Anything else
+    # falls back to the full read (counted in prune_fallback). This
+    # turns the per-round read from O(frontier) to O(contributing
+    # buckets) in the capacity-bound regime.
+    pending_prune: bool = True
+    pending_prune_slack: float = 4.0
     # drift guard (ADVICE r2): n_pending is arithmetic
     # (prev - fetched + new), which silently relies on fetch emitting
     # exactly one row per dequeued row and enqueue deduping within the
@@ -296,6 +313,14 @@ class CrawlEngine:
                 "seen_filters",
                 0,
             )
+        # per-bucket priority/count bounds for the pruned pending read
+        # (one column-pruned agg over the just-written seed buckets)
+        st0 = (
+            self._with_pbucket(self._read_pending_manifest(manifest))
+            .groupBy("pbucket")
+            .agg(F.count(F.lit(1)).alias("c"), F.max("priority").alias("mp"))
+            .collect()
+        )
         self.store.commit(
             0,
             {
@@ -304,6 +329,12 @@ class CrawlEngine:
                 "pending_manifest": manifest,
                 "pending_compact_round": 0,
                 "pending_folded": {b: 0 for b in range(cfg.pending_buckets)},
+                "pending_bucket_maxp": {
+                    int(x["pbucket"]): float(x["mp"]) for x in st0
+                },
+                "pending_bucket_cnt_ub": {
+                    int(x["pbucket"]): int(x["c"]) for x in st0
+                },
                 # base sizes start unknown ({} → every dirty bucket
                 # folds at the first compaction, which populates them)
                 "pending_bucket_rows": {},
@@ -428,6 +459,19 @@ class CrawlEngine:
                 "left_anti",
             )
         return df
+
+    def _pending_stats_of(self, meta: dict) -> tuple[dict, dict] | None:
+        """(maxp, cnt_ub) per-bucket upper bounds from the commit meta,
+        or None on a pre-stats (legacy) store — pruning stays off until
+        the next round bootstraps them."""
+        mp = meta.get("pending_bucket_maxp")
+        cu = meta.get("pending_bucket_cnt_ub")
+        if mp is None or cu is None:
+            return None
+        return (
+            {int(k): float(v) for k, v in mp.items()},
+            {int(k): int(v) for k, v in cu.items()},
+        )
 
     def _pending_delta_counts(self, folded: dict[int, int], upto_round: int) -> dict[int, int]:
         """Per-bucket count of UNFOLDED delta rows (adds + removals) in
@@ -977,7 +1021,80 @@ class CrawlEngine:
                 if remaining is None
                 else min(remaining, cfg.round_capacity)
             )
-        deq = dequeue(pending, self.robots, cfg.default_budget, max_take=remaining)
+        prev_stats = self._pending_stats_of(prev_meta)
+        prune_info = {"buckets_read": None, "prune_fallback": 0}
+        deq = None
+        deq_cached = None
+        if cfg.pending_prune and remaining is not None and prev_stats is None:
+            # legacy-store bootstrap: one full-frontier agg this round;
+            # every later round prunes off the maintained bounds
+            brows_now = (
+                self._with_pbucket(pending)
+                .groupBy("pbucket")
+                .agg(F.count(F.lit(1)).alias("c"), F.max("priority").alias("mp"))
+                .collect()
+            )
+            prev_stats = (
+                {int(x["pbucket"]): float(x["mp"]) for x in brows_now},
+                {int(x["pbucket"]): int(x["c"]) for x in brows_now},
+            )
+            prune_info["refreshed"] = True  # bootstrap IS a refresh
+        if (
+            cfg.pending_prune
+            and remaining is not None
+            and remaining < prev_pending_n  # a full drain needs every bucket
+            and prev_stats is not None
+        ):
+            maxp_b, cnt_b = prev_stats
+            order_b = sorted(maxp_b, key=lambda b: (-maxp_b[b], b))
+            target = cfg.pending_prune_slack * remaining
+            # initial prefix: maxp-ranked buckets holding ≥ slack×
+            # capacity candidate rows. That can undershoot — the top-k
+            # rows live in the first j* buckets where j* = count of
+            # buckets with maxp ≥ the true cutoff, and j* is not
+            # derivable from the bounds — so the prefix GROWS
+            # geometrically on a failed check (≤ log attempts, total
+            # rows read bounded by a constant × the final prefix) and
+            # degenerates to the full read when the frontier genuinely
+            # needs every bucket (uniform top band).
+            m = 0
+            acc = 0
+            while m < len(order_b) and acc < target:
+                acc += cnt_b.get(order_b[m], 0)
+                m += 1
+            attempts = 0
+            while m < len(order_b):
+                prefix = order_b[:m]
+                skipped = order_b[m:]
+                attempts += 1
+                pruned = self._assemble_pending(
+                    prev_manifest, prev_folded, r - 1, buckets=set(prefix)
+                )
+                cand = dequeue(
+                    pruned, self.robots, cfg.default_budget, max_take=remaining
+                ).persist()
+                a = cand.agg(
+                    F.count(F.lit(1)).alias("c"), F.min("priority").alias("mp")
+                ).collect()[0]
+                thresh = max(maxp_b[b] for b in skipped)
+                # sound iff the capacity filled from the prefix AND the
+                # worst selected priority strictly beats every skipped
+                # bucket's bound (a tie could lose on canon_url order)
+                if (
+                    int(a["c"]) == remaining
+                    and a["mp"] is not None
+                    and float(a["mp"]) > thresh
+                ):
+                    deq = deq_cached = cand
+                    prune_info["buckets_read"] = len(prefix)
+                    prune_info["prune_attempts"] = attempts
+                    break
+                cand.unpersist()
+                m = min(len(order_b), m * 4)
+            if deq is None and attempts:
+                prune_info["prune_fallback"] = 1
+        if deq is None:
+            deq = dequeue(pending, self.robots, cfg.default_budget, max_take=remaining)
         pages = fetch_stage(
             deq,
             cfg.world,
@@ -1004,6 +1121,8 @@ class CrawlEngine:
             F.sum("resp_ms").alias("sum_resp_ms"),
         )
         store.append(pages, "pages", r)  # materializes the fetch exactly once
+        if deq_cached is not None:
+            deq_cached.unpersist()
         metrics = {k: (int(v) if v is not None else 0) for k, v in obs.get.items()}
         tick("dequeue+fetch+write_pages")
         pages = store.read_snapshot(spark, "pages", r)
@@ -1015,7 +1134,9 @@ class CrawlEngine:
             seen_carry = {
                 k: prev_meta.get(k)
                 for k in ("seen_manifest", "seen_folded", "seen_bucket_rows",
-                          "seen_base_round", "seen_buckets")
+                          "seen_base_round", "seen_buckets",
+                          "pending_bucket_maxp", "pending_bucket_cnt_ub",
+                          "pending_stats_refresh_round")
                 if prev_meta.get(k) is not None
             }
             store.commit(r, {"fetched_total": fetched_total, "pending": prev_pending_n,
@@ -1096,6 +1217,48 @@ class CrawlEngine:
         n_new = int(sobs.get.get("rows") or 0)
         if tagged is not None:
             tagged.unpersist()
+        # maintain the per-bucket pruning bounds: one O(delta) agg over
+        # the just-written seen delta (the round's pending adds).
+        # Removals are ignored — bounds stay upper bounds; fold below
+        # resets folded buckets to exact values.
+        st_maxp: dict[int, float] | None = None
+        st_cnt: dict[int, int] | None = None
+        stats_refresh_round = int(prev_meta.get("pending_stats_refresh_round", 0))
+        if prev_stats is not None:
+            # (never created from deltas alone — a delta-only map is
+            # not an upper bound for buckets with untracked base rows;
+            # stats exist only via round-0 init or the bootstrap agg)
+            st_maxp, st_cnt = dict(prev_stats[0]), dict(prev_stats[1])
+            if prune_info.get("refreshed"):
+                stats_refresh_round = r
+            elif prune_info["prune_fallback"] and r - stats_refresh_round >= 2:
+                # a fallback means the stored bounds no longer rank the
+                # buckets usefully (stale-high maxp after the top rows
+                # were fetched) — re-derive them exactly from the
+                # frontier the fallback already paid to read. Rate-
+                # limited so a genuinely unprunable (uniform-top-band)
+                # frontier doesn't pay a refresh scan every round.
+                frows = (
+                    self._with_pbucket(pending)
+                    .groupBy("pbucket")
+                    .agg(F.count(F.lit(1)).alias("c"), F.max("priority").alias("mp"))
+                    .collect()
+                )
+                st_maxp = {int(x["pbucket"]): float(x["mp"]) for x in frows}
+                st_cnt = {int(x["pbucket"]): int(x["c"]) for x in frows}
+                stats_refresh_round = r
+            if n_new:
+                drows = (
+                    self._with_pbucket(store.read_snapshot(spark, "seen", r))
+                    .groupBy("pbucket")
+                    .agg(F.count(F.lit(1)).alias("c"), F.max("priority").alias("mp"))
+                    .collect()
+                )
+                for x in drows:
+                    b = int(x["pbucket"])
+                    mp = float(x["mp"])
+                    st_maxp[b] = mp if b not in st_maxp else max(st_maxp[b], mp)
+                    st_cnt[b] = st_cnt.get(b, 0) + int(x["c"])
         tick("enqueue+dedupe+write_seen")
         # merge-on-read pending: the round's seen delta and pages log ARE
         # the pending add/remove deltas — nothing extra is written here.
@@ -1137,18 +1300,32 @@ class CrawlEngine:
                     "pending_b",
                     r,
                 )
-                counts = {
-                    int(x["pbucket"]): int(x["count"])
-                    for x in assembled.groupBy("pbucket").count().collect()
-                }
+                strows = (
+                    assembled.groupBy("pbucket")
+                    .agg(
+                        F.count(F.lit(1)).alias("count"),
+                        F.max("priority").alias("mp"),
+                    )
+                    .collect()
+                )
+                counts = {int(x["pbucket"]): int(x["count"]) for x in strows}
                 assembled.unpersist()
                 for b in fold_set:
                     folded[b] = r
                     manifest.pop(b, None)  # empty after fold → no dir
                     brows[b] = 0
+                    if st_maxp is not None:
+                        # fold resets the bounds to exact values; an
+                        # empty bucket loses its entries entirely
+                        st_maxp.pop(b, None)
+                        st_cnt.pop(b, None)
                 for b in written:
                     manifest[b] = r
                 brows.update(counts)
+                if st_maxp is not None:
+                    for x in strows:
+                        st_maxp[int(x["pbucket"])] = float(x["mp"])
+                        st_cnt[int(x["pbucket"])] = int(x["count"])
                 pending_rewritten = sum(counts.values())
         tick("write_pending")
         # dequeued rows == pages (1:1) and the adds are exactly the seen
@@ -1212,6 +1389,15 @@ class CrawlEngine:
                 # (0 except compaction rounds) — the bench's
                 # frontier-growth check reads this
                 "pending_rewritten": pending_rewritten,
+                **(
+                    {
+                        "pending_bucket_maxp": st_maxp,
+                        "pending_bucket_cnt_ub": st_cnt,
+                        "pending_stats_refresh_round": stats_refresh_round,
+                    }
+                    if st_maxp is not None
+                    else {}
+                ),
             },
         )
         return {
@@ -1220,6 +1406,10 @@ class CrawlEngine:
             "pending_rewritten": pending_rewritten,
             "seen_rewritten": seen_meta.get("seen_rewritten", 0),
             "pending_before": prev_pending_n,
+            # O(contributing buckets) evidence for the pruned read:
+            # buckets actually assembled for the dequeue (None = full)
+            "pending_buckets_read": prune_info["buckets_read"],
+            "prune_fallback": prune_info["prune_fallback"],
             "stop": n_pending == 0,
         }
 
@@ -1256,7 +1446,9 @@ class CrawlEngine:
                  "fetched": out.get("fetched", 0),
                  "pending_before": out.get("pending_before"),
                  "pending_rewritten": out.get("pending_rewritten"),
-                 "seen_rewritten": out.get("seen_rewritten")}
+                 "seen_rewritten": out.get("seen_rewritten"),
+                 "pending_buckets_read": out.get("pending_buckets_read"),
+                 "prune_fallback": out.get("prune_fallback")}
             )
             stats["rounds"] = r
             if out.get("stop"):
