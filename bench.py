@@ -316,52 +316,55 @@ def frontier_growth(cpus: int) -> dict:
             tag="bench-pr",
         )
         fstate = tempfile.mkdtemp(prefix="ncs_prune_", dir=state_root)
-        seeds_dir = os.path.join(fstate, "seeds.parquet")
-        (
-            spark.createDataFrame(
-                _pd.DataFrame(seed_rows(fworld))[["url"]]
-            )
-            .withColumn(
-                "__b",
-                _F.pmod(
-                    _F.xxhash64(
-                        _F.lower(_F.regexp_extract("url", "://([^/:]+)", 1))
+        try:
+            seeds_dir = os.path.join(fstate, "seeds.parquet")
+            (
+                spark.createDataFrame(
+                    _pd.DataFrame(seed_rows(fworld))[["url"]]
+                )
+                .withColumn(
+                    "__b",
+                    _F.pmod(
+                        _F.xxhash64(
+                            _F.lower(_F.regexp_extract("url", "://([^/:]+)", 1))
+                        ),
+                        _F.lit(64),
                     ),
-                    _F.lit(64),
-                ),
+                )
+                .filter(_F.col("__b") < 6)
+                .select("url")
+                .write.mode("overwrite")
+                .parquet(seeds_dir)
             )
-            .filter(_F.col("__b") < 6)
-            .select("url")
-            .write.mode("overwrite")
-            .parquet(seeds_dir)
-        )
-        fcfg = EngineConfig(
-            state_dir=os.path.join(fstate, "state"),
-            world=fworld,
-            seeds_path=seeds_dir,
-            scope_seed_hosts=False,
-            max_rounds=4,
-            round_capacity=100,
-            fetch_tasks=max(8, cpus * 4),
-            pending_buckets=64,
-            expected_urls=1 << 15,
-        )
-        fstats = CrawlEngine(spark, fcfg).run()
-        prune_rounds = [
-            {
-                "round": rt["round"],
-                "frontier_before": rt.get("pending_before"),
-                "pending_buckets_read": rt.get("pending_buckets_read"),
-                "prune_fallback": rt.get("prune_fallback"),
-                "seconds": rt["seconds"],
-            }
-            for rt in fstats["round_times"]
-        ]
-        shutil.rmtree(fstate, ignore_errors=True)
+            fcfg = EngineConfig(
+                state_dir=os.path.join(fstate, "state"),
+                world=fworld,
+                seeds_path=seeds_dir,
+                scope_seed_hosts=False,
+                max_rounds=4,
+                round_capacity=100,
+                fetch_tasks=max(8, cpus * 4),
+                pending_buckets=64,
+                expected_urls=1 << 15,
+            )
+            fstats = CrawlEngine(spark, fcfg).run()
+            prune_rounds = [
+                {
+                    "round": rt["round"],
+                    "frontier_before": rt.get("pending_before"),
+                    "pending_buckets_read": rt.get("pending_buckets_read"),
+                    "prune_fallback": rt.get("prune_fallback"),
+                    "seconds": rt["seconds"],
+                }
+                for rt in fstats["round_times"]
+            ]
+
+        finally:
+            shutil.rmtree(fstate, ignore_errors=True)
         return {
             "cpus": cpus,
             "rounds": rounds,
-            "prune": {"buckets_total": cfg.pending_buckets, "rounds": prune_rounds},
+            "prune": {"buckets_total": fcfg.pending_buckets, "rounds": prune_rounds},
         }
     finally:
         spark.stop()

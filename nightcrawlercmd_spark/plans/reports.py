@@ -243,6 +243,9 @@ def wordlist_pipeline(
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
+    # one normalization, reference-positioned BEFORE permute
+    # (findAllWords lowers+trims each word, mainWordlist.go:165-167);
+    # mutations of lowered/trimmed input need no second pass
     out = out.select(F.lower(F.trim("token")).alias("token"))
     if mutator == "username":
         out = out.select(
@@ -251,8 +254,7 @@ def wordlist_pipeline(
     elif mutator is not None:
         raise ValueError(f"unknown mutator {mutator!r}; one of ('username',)")
     return (
-        out.select(F.lower(F.trim("token")).alias("token"))
-        .filter(F.length("token") > 0)
+        out.filter(F.length("token") > 0)
         .distinct()
         .orderBy("token")
     )

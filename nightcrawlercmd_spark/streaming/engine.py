@@ -314,13 +314,14 @@ class CrawlEngine:
                 0,
             )
         # per-bucket priority/count bounds for the pruned pending read
-        # (one column-pruned agg over the just-written seed buckets)
-        st0 = (
-            self._with_pbucket(self._read_pending_manifest(manifest))
-            .groupBy("pbucket")
-            .agg(F.count(F.lit(1)).alias("c"), F.max("priority").alias("mp"))
-            .collect()
-        )
+        # (one column-pruned agg over the just-written seed buckets;
+        # skipped when pruning is off — a later enable bootstraps)
+        st0_maxp: dict | None = None
+        st0_cnt: dict | None = None
+        if cfg.pending_prune:
+            st0_maxp, st0_cnt = self._bucket_stats(
+                self._read_pending_manifest(manifest)
+            )
         self.store.commit(
             0,
             {
@@ -329,12 +330,14 @@ class CrawlEngine:
                 "pending_manifest": manifest,
                 "pending_compact_round": 0,
                 "pending_folded": {b: 0 for b in range(cfg.pending_buckets)},
-                "pending_bucket_maxp": {
-                    int(x["pbucket"]): float(x["mp"]) for x in st0
-                },
-                "pending_bucket_cnt_ub": {
-                    int(x["pbucket"]): int(x["c"]) for x in st0
-                },
+                **(
+                    {
+                        "pending_bucket_maxp": st0_maxp,
+                        "pending_bucket_cnt_ub": st0_cnt,
+                    }
+                    if st0_maxp is not None
+                    else {}
+                ),
                 # base sizes start unknown ({} → every dirty bucket
                 # folds at the first compaction, which populates them)
                 "pending_bucket_rows": {},
@@ -459,6 +462,23 @@ class CrawlEngine:
                 "left_anti",
             )
         return df
+
+    def _bucket_stats(self, df: DataFrame) -> tuple[dict[int, float], dict[int, int]]:
+        """(maxp, count) per pbucket — THE definition of the pruning
+        bounds; every producer (round-0 init, legacy bootstrap,
+        fallback refresh, compaction fold) goes through here so the
+        soundness invariant (every bucket with rows has an entry)
+        cannot drift between copies."""
+        rows = (
+            self._with_pbucket(df)
+            .groupBy("pbucket")
+            .agg(F.count(F.lit(1)).alias("c"), F.max("priority").alias("mp"))
+            .collect()
+        )
+        return (
+            {int(x["pbucket"]): float(x["mp"]) for x in rows},
+            {int(x["pbucket"]): int(x["c"]) for x in rows},
+        )
 
     def _pending_stats_of(self, meta: dict) -> tuple[dict, dict] | None:
         """(maxp, cnt_ub) per-bucket upper bounds from the commit meta,
@@ -1028,22 +1048,17 @@ class CrawlEngine:
         if cfg.pending_prune and remaining is not None and prev_stats is None:
             # legacy-store bootstrap: one full-frontier agg this round;
             # every later round prunes off the maintained bounds
-            brows_now = (
-                self._with_pbucket(pending)
-                .groupBy("pbucket")
-                .agg(F.count(F.lit(1)).alias("c"), F.max("priority").alias("mp"))
-                .collect()
-            )
-            prev_stats = (
-                {int(x["pbucket"]): float(x["mp"]) for x in brows_now},
-                {int(x["pbucket"]): int(x["c"]) for x in brows_now},
-            )
+            prev_stats = self._bucket_stats(pending)
             prune_info["refreshed"] = True  # bootstrap IS a refresh
         if (
             cfg.pending_prune
             and remaining is not None
-            and remaining < prev_pending_n  # a full drain needs every bucket
+            and 0 < remaining < prev_pending_n  # full drain needs every bucket
             and prev_stats is not None
+            # supply-limited regime (post-budget eligible rows < the
+            # capacity — review r4 finding): no prefix can ever fill
+            # the capacity, so skip the attempts until a round fills it
+            and prev_meta.get("capacity_filled", True)
         ):
             maxp_b, cnt_b = prev_stats
             order_b = sorted(maxp_b, key=lambda b: (-maxp_b[b], b))
@@ -1090,7 +1105,7 @@ class CrawlEngine:
                     prune_info["prune_attempts"] = attempts
                     break
                 cand.unpersist()
-                m = min(len(order_b), m * 4)
+                m = min(len(order_b), max(m * 4, 1))
             if deq is None and attempts:
                 prune_info["prune_fallback"] = 1
         if deq is None:
@@ -1231,21 +1246,18 @@ class CrawlEngine:
             st_maxp, st_cnt = dict(prev_stats[0]), dict(prev_stats[1])
             if prune_info.get("refreshed"):
                 stats_refresh_round = r
-            elif prune_info["prune_fallback"] and r - stats_refresh_round >= 2:
+            elif (
+                prune_info["prune_fallback"]
+                and n_fetched >= (remaining or 0)
+                and r - stats_refresh_round >= 2
+            ):
                 # a fallback means the stored bounds no longer rank the
                 # buckets usefully (stale-high maxp after the top rows
                 # were fetched) — re-derive them exactly from the
                 # frontier the fallback already paid to read. Rate-
                 # limited so a genuinely unprunable (uniform-top-band)
                 # frontier doesn't pay a refresh scan every round.
-                frows = (
-                    self._with_pbucket(pending)
-                    .groupBy("pbucket")
-                    .agg(F.count(F.lit(1)).alias("c"), F.max("priority").alias("mp"))
-                    .collect()
-                )
-                st_maxp = {int(x["pbucket"]): float(x["mp"]) for x in frows}
-                st_cnt = {int(x["pbucket"]): int(x["c"]) for x in frows}
+                st_maxp, st_cnt = self._bucket_stats(pending)
                 stats_refresh_round = r
             if n_new:
                 drows = (
@@ -1300,15 +1312,7 @@ class CrawlEngine:
                     "pending_b",
                     r,
                 )
-                strows = (
-                    assembled.groupBy("pbucket")
-                    .agg(
-                        F.count(F.lit(1)).alias("count"),
-                        F.max("priority").alias("mp"),
-                    )
-                    .collect()
-                )
-                counts = {int(x["pbucket"]): int(x["count"]) for x in strows}
+                fold_maxp, counts = self._bucket_stats(assembled)
                 assembled.unpersist()
                 for b in fold_set:
                     folded[b] = r
@@ -1323,9 +1327,8 @@ class CrawlEngine:
                     manifest[b] = r
                 brows.update(counts)
                 if st_maxp is not None:
-                    for x in strows:
-                        st_maxp[int(x["pbucket"])] = float(x["mp"])
-                        st_cnt[int(x["pbucket"])] = int(x["count"])
+                    st_maxp.update(fold_maxp)
+                    st_cnt.update(counts)
                 pending_rewritten = sum(counts.values())
         tick("write_pending")
         # dequeued rows == pages (1:1) and the adds are exactly the seen
@@ -1389,6 +1392,9 @@ class CrawlEngine:
                 # (0 except compaction rounds) — the bench's
                 # frontier-growth check reads this
                 "pending_rewritten": pending_rewritten,
+                # supply regime marker for the prune guard: did this
+                # round's dequeue fill its capacity?
+                "capacity_filled": remaining is None or n_fetched >= remaining,
                 **(
                     {
                         "pending_bucket_maxp": st_maxp,
@@ -1490,17 +1496,21 @@ class CrawlEngine:
         # partition j>i in that order, so offset+rank is the exact
         # global rank. The offset table is ≤ rounds×npart rows
         # (broadcast); both consumers of `ranked` hang off the same
-        # range Exchange, which the planner reuses within the one
-        # final plan (spark.sql.exchange.reuse); even re-executed, the
-        # RangePartitioner's reservoir sampling is seeded
-        # deterministically from the upstream partition index, and the
-        # upstream here is a bare parquet scan — boundaries, and hence
-        # __pid, are stable across jobs in a session.
+        # range Exchange. __pid is only meaningful if both consumers
+        # see the SAME partitioning instance — RangePartitioner
+        # re-samples boundaries with an rdd.id-derived seed on every
+        # execution, so relying on ReusedExchange alone would corrupt
+        # seq whenever the planner doesn't (or can't) reuse it. The
+        # localCheckpoint pins the partitioned data once: both
+        # branches read the identical materialized partitions, and an
+        # executor loss fails loudly instead of recomputing into a
+        # different partitioning (review r4 finding).
         npart = max(16, self.spark.sparkContext.defaultParallelism)
         order = [F.desc("priority"), F.asc("canon_url")]
         ranked = (
             df.repartitionByRange(npart, F.asc("round"), *order)
             .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)
         )
         w = Window.partitionBy("round", "__pid").orderBy(*order)
         ranked = ranked.withColumn("__rk", F.row_number().over(w))

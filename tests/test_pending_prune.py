@@ -77,6 +77,22 @@ def test_prune_off_is_identical(spark, tmp_path_factory):
     )
 
 
+def test_round_capacity_zero_terminates(spark, tmp_path_factory):
+    """Review r4: round_capacity=0 (remaining=0) must not enter the
+    geometric-growth loop with an unfillable capacity — the crawl
+    dequeues nothing and terminates, as it did pre-pruning."""
+    cfg = EngineConfig(
+        state_dir=str(tmp_path_factory.mktemp("prune_cap0")),
+        world=WORLD,
+        max_rounds=2,
+        round_capacity=0,
+        fetch_tasks=4,
+        expected_urls=1 << 12,
+    )
+    stats = CrawlEngine(spark, cfg).run()
+    assert sum(t["fetched"] for t in stats["round_times"]) == 0
+
+
 def test_legacy_meta_bootstraps_stats_on_resume(spark, tmp_path_factory):
     """A pre-stats store (commit metas without the bucket bounds) must
     resume correctly: the first capacity-bound round bootstraps the
