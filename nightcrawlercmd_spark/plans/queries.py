@@ -18,6 +18,8 @@ from __future__ import annotations
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1397,32 +1399,165 @@ def q_multimodal_decode(spark, sf):
 
 def q_multimodal_thumbs(spark, sf):
     """Image resize plumbing: area-resample to 16×16 + lossless
-    re-encode over the payload table (rows-only; invariants in pytest)."""
+    re-encode over the payload table.
+
+    Self-validating (rows-only, crawl_e2e pattern): ``thumb_ok``
+    compares the emitted blob's md5 (JVM-side) against a driver-side
+    oracle that recomputes each 16×16 cell as a DIRECT slice-and-mean
+    over the decoded image — no integral image — so the operator's
+    cumsum/ix_ box algebra is checked against a naive re-derivation of
+    the same floor-boundary spec. Both paths produce exact dyadic
+    box means over integer pixels, so round+clip is bit-identical and
+    the comparison is byte-exact. Full outer join: a dropped or extra
+    thumb surfaces as an unmatched row in the driver's value hash."""
+    import hashlib
+
+    import numpy as np
+
+    from ..functions import codecs_np as C
     from ..sources.corpus import WorldConfig, all_page_urls, images_pdf
 
     world = WorldConfig(n_hosts=3, base_pages=6, hot_factor=2, tag="drv-img")
-    images = spark.createDataFrame(images_pdf(world, all_page_urls(world)))
-    return MM.thumbnails(images, size=16, n_tasks=8)
+    ipdf = images_pdf(world, all_page_urls(world))
+    images = spark.createDataFrame(ipdf)
+    thumbs = MM.thumbnails(images, size=16, n_tasks=8)
+    size = 16
+    exp = []
+    for r in ipdf.itertuples(index=False):
+        img = C.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h)).astype(np.float64)
+        h, w = img.shape[:2]
+        ys = [i * h // size for i in range(size + 1)]
+        xs = [i * w // size for i in range(size + 1)]
+        cells = np.empty((size, size, 3), dtype=np.float64)
+        for i in range(size):
+            y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+            for j in range(size):
+                x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+                cells[i, j] = img[y0:y1, x0:x1].reshape(-1, 3).mean(axis=0)
+        tb = np.clip(np.round(cells), 0, 255).astype(np.uint8).tobytes()
+        exp.append(
+            {"image_id": r.image_id, "o_md5": hashlib.md5(tb).hexdigest()}
+        )
+    oracle = spark.createDataFrame(
+        pd.DataFrame(exp), "image_id string, o_md5 string"
+    )
+    return (
+        thumbs.join(F.broadcast(oracle), "image_id", "full")
+        .withColumn(
+            "thumb_ok",
+            (F.length("thumb") == F.lit(size * size * 3))
+            & (F.md5("thumb") == F.col("o_md5")),
+        )
+        .drop("o_md5")
+    )
 
 
 def q_video_frames(spark, sf):
     """Video frame-sampling plumbing: opaque concatenated-rgb8 blobs →
-    every-4th-frame rows with timestamps + phash (rows-only)."""
-    from ..sources.corpus import WorldConfig, videos_pdf
+    every-4th-frame rows with timestamps + phash.
+
+    Self-validating (rows-only, crawl_e2e pattern): each row carries
+    ``frame_ok`` — the emitted frame's md5 (computed JVM-side) must
+    equal the digest of the INDEPENDENT per-frame oracle
+    ``gen_video_frame`` (corpus.py: frame k is recomputable without
+    slicing the blob), and the timestamp must match
+    ``floor(k*1000/fps)``. The join is FULL outer, so a dropped or
+    extra frame surfaces as an unmatched row in the driver's value
+    hash, not just a count drift."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..sources.corpus import WorldConfig, gen_video_frame, videos_pdf
 
     world = WorldConfig(tag="drv-vid")
-    videos = spark.createDataFrame(videos_pdf(world, 24))
-    return MM.sample_frames(videos, every_k=4, n_tasks=8)
+    vids = videos_pdf(world, 24)
+    videos = spark.createDataFrame(vids)
+    frames = MM.sample_frames(videos, every_k=4, n_tasks=8)
+    exp = []
+    for r in vids.itertuples(index=False):
+        stride = int(r.w) * int(r.h) * 3
+        nf = min(int(r.n_frames), len(r.bytes) // stride)
+        for k in range(0, nf, 4):
+            fr = gen_video_frame(world, r.video_id, k, int(r.w), int(r.h))
+            exp.append(
+                {
+                    "video_id": r.video_id,
+                    "frame_idx": k,
+                    "o_md5": hashlib.md5(fr.tobytes()).hexdigest(),
+                    "o_t_ms": int(k * 1000 / int(r.fps)),
+                }
+            )
+    oracle = spark.createDataFrame(
+        pd.DataFrame(exp),
+        "video_id string, frame_idx int, o_md5 string, o_t_ms int",
+    )
+    return (
+        frames.join(F.broadcast(oracle), ["video_id", "frame_idx"], "full")
+        .withColumn(
+            "frame_ok",
+            F.col("o_md5").isNotNull()
+            & (F.md5("frame") == F.col("o_md5"))
+            & (F.col("t_ms") == F.col("o_t_ms")),
+        )
+        .drop("o_md5", "o_t_ms")
+    )
 
 
 def q_audio_features(spark, sf):
     """Audio decode/feature plumbing: pcm16 blobs → duration/RMS/peak/
-    zero-crossing-rate rows (rows-only)."""
+    zero-crossing-rate rows.
+
+    Self-validating (rows-only, crawl_e2e pattern): ``audio_ok``
+    compares every emitted feature against a driver-side recompute
+    over the generator's blobs (full outer join — a dropped or
+    duplicated clip surfaces as an unmatched row). Integers must be
+    exact; floats within 1e-9 (same float64 arithmetic, different
+    execution path — this pins the Arrow batch plumbing and the
+    pcm16 normalization, not just the formulas)."""
+    import pandas as pd
+
     from ..sources.corpus import WorldConfig, audios_pdf
 
     world = WorldConfig(tag="drv-aud")
-    audio = spark.createDataFrame(audios_pdf(world, 40))
-    return MM.audio_features(audio, n_tasks=8)
+    apdf = audios_pdf(world, 40)
+    audio = spark.createDataFrame(apdf)
+    exp = []
+    for r in apdf.itertuples(index=False):
+        import numpy as np
+
+        pcm = np.frombuffer(
+            r.bytes[: len(r.bytes) // 2 * 2], dtype="<i2"
+        ).astype(np.float64) / 32768.0
+        n = len(pcm)
+        zc = int(np.count_nonzero(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+        exp.append(
+            {
+                "audio_id": r.audio_id,
+                "o_n": n,
+                "o_dur": int(n * 1000 / int(r.sr)) if int(r.sr) > 0 else 0,
+                "o_rms": float(np.sqrt(np.mean(pcm**2))) if n else 0.0,
+                "o_peak": float(np.max(np.abs(pcm))) if n else 0.0,
+                "o_zcr": float(zc / max(n - 1, 1)),
+            }
+        )
+    oracle = spark.createDataFrame(
+        pd.DataFrame(exp),
+        "audio_id string, o_n int, o_dur int, o_rms double, o_peak double, o_zcr double",
+    )
+    return (
+        MM.audio_features(audio, n_tasks=8)
+        .join(F.broadcast(oracle), "audio_id", "full")
+        .withColumn(
+            "audio_ok",
+            (F.col("n_samples") == F.col("o_n"))
+            & (F.col("duration_ms") == F.col("o_dur"))
+            & (F.abs(F.col("rms") - F.col("o_rms")) < 1e-9)
+            & (F.abs(F.col("peak") - F.col("o_peak")) < 1e-9)
+            & (F.abs(F.col("zcr") - F.col("o_zcr")) < 1e-9),
+        )
+        .drop("o_n", "o_dur", "o_rms", "o_peak", "o_zcr")
+    )
 
 
 def q_ann_lsh_topk(spark, sf):
@@ -1480,14 +1615,33 @@ def _sql_fuzzer_random():
 
 def q_dns_sweep(spark, sf):
     """O46+O58+O65: wordlist sweep with resume anti-join and
-    found/not-found classification (simulated resolver → rows-only)."""
+    found/not-found classification (simulated resolver).
+
+    Self-validating (rows-only): ``dns_ok`` re-checks the structural
+    contract JVM-side — absolute-FQDN name shape (trailing dot,
+    mainDNS.go:112), the resume anti-join actually excluded the
+    history names, found ⇔ a non-null exploded entry, and A-type
+    answers look like the responder's 10.x addresses. History entries
+    carry the trailing-dot form the sweep stores (a dot-less history
+    would anti-join against nothing — the exact silent-re-resolve
+    failure the docstring in connectors.py warns about, and what this
+    verdict column now guards)."""
     from ..sources.connectors import simulate_dns_sweep
 
     words = _t(spark, sf, "nation").select(F.lower("n_name").alias("word"))
-    history = spark.createDataFrame(
-        [("germany.sweep.test",), ("france.sweep.test",)], "name string"
+    hist = ["germany.sweep.test.", "france.sweep.test."]
+    history = spark.createDataFrame([(h,) for h in hist], "name string")
+    res = simulate_dns_sweep(spark, words, "sweep.test", history)
+    return res.withColumn(
+        "dns_ok",
+        F.col("name").endswith(".sweep.test.")
+        & ~F.col("name").isin(hist)
+        & (F.col("found") == F.col("entry").isNotNull())
+        & (
+            ~F.col("found")
+            | F.col("entry").rlike(r"^10\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+        ),
     )
-    return simulate_dns_sweep(spark, words, "sweep.test", history)
 
 
 def q_bucket_scan(spark, sf):
@@ -1507,19 +1661,91 @@ def q_bucket_scan(spark, sf):
         ),
         "name string, url_template string, not_found_code int, denied_code int",
     )
-    return bucket_scan(spark, words, providers)
+    res = bucket_scan(spark, words, providers)
+    # Self-validating (rows-only): re-join the provider dim and check
+    # (a) the {w} substitution is invertible — replacing the word back
+    # with the placeholder recovers the template (pins the cross-join
+    # row pairing, not just "url contains word"), (b) the probe status
+    # is one of the provider's three legal codes, (c) the classifier
+    # agrees with a CASE re-derivation of mainBucketScan.go:117-134.
+    dim = providers.select(
+        "name", "url_template",
+        F.col("not_found_code").alias("nf"), F.col("denied_code").alias("dn"),
+    )
+    return (
+        res.join(F.broadcast(dim), "name", "left")
+        .withColumn(
+            "probe_ok",
+            (F.replace(F.col("url"), F.col("word"), F.lit("{w}")) == F.col("url_template"))
+            & (
+                (F.col("status_code") == 200)
+                | (F.col("status_code") == F.col("nf"))
+                | (F.col("status_code") == F.col("dn"))
+            )
+            & (
+                F.col("result")
+                == F.expr(
+                    "CASE WHEN status_code = nf THEN 'not found' "
+                    "WHEN status_code = dn THEN 'access denied' "
+                    "ELSE 'found' END"
+                )
+            ),
+        )
+        .drop("url_template", "nf", "dn")
+    )
 
 
 def q_httpscan_matrix(spark, sf):
     """O55-O57+O35: probe matrix (params/headers/segments × vectors)
-    over synthetic URLs + substring-found scan (rows-only)."""
-    from ..plans.httpscan import run_scan
+    over synthetic URLs + substring-found scan.
+
+    Self-validating (rows-only): ``matrix_ok`` re-derives the expected
+    probe count per URL straight from the URL STRING with independent
+    JVM array ops — unique query keys × all 5 vectors, 2 headers × 5
+    (scan_headers on here), non-empty path segments × the 4
+    segment-eligible vectors (section null/empty or contains
+    'urlsegment', mainHttpScan.go:151-153) — and compares it to the
+    actual per-URL row count. A matrix that drops a branch, double
+    probes a duplicate key, or mis-gates a section flips the verdict;
+    the full join surfaces URLs that produced no probes at all."""
+    from ..operators.links import path_of_col
+    from ..plans.httpscan import VECTORS, run_scan
 
     urls = spark.createDataFrame(
         [(f"http://scan{i:02d}.test/a/b{i}?x={i}&y=2",) for i in range(20)],
         "url string",
     )
-    return run_scan(spark, urls, scan_headers=True)
+    res = run_scan(spark, urls, scan_headers=True)
+    q = F.col("url").substr(
+        F.instr(F.col("url"), "?") + F.lit(1), F.length("url")
+    )
+    keys = F.array_distinct(
+        F.transform(
+            F.filter(F.split(q, "&"), lambda x: F.length(x) > 0),
+            lambda x: F.substring_index(x, "=", 1),
+        )
+    )
+    nkeys = F.when(F.col("url").contains("?"), F.size(keys)).otherwise(F.lit(0))
+    nsegs = F.size(
+        F.filter(
+            F.split(path_of_col(F.col("url")), "/"), lambda x: F.length(x) > 0
+        )
+    )
+    n_seg_vecs = sum(
+        1 for v in VECTORS if not v["section"] or "urlsegment" in v["section"]
+    )
+    n_vecs = len(VECTORS)
+    expected = urls.select(
+        "url",
+        (nkeys * n_vecs + 2 * n_vecs + nsegs * n_seg_vecs).alias("o_probes"),
+    )
+    w = Window.partitionBy("url")
+    return (
+        res.withColumn("n_probes", F.count(F.lit(1)).over(w))
+        .join(F.broadcast(expected), "url", "full")
+        .withColumn("matrix_ok", F.col("n_probes") == F.col("o_probes"))
+        .drop("n_probes", "o_probes")
+    )
 
 
 # =====================================================================
