@@ -100,6 +100,16 @@ class HttpFetcher:
             base["error"] = f"fetch: {e}"
             base["resp_ms"] = int((time.perf_counter() - t0) * 1000)
             return base
+        synth_err = resp.getheader("X-Synthetic-Error")
+        if synth_err:
+            # the fixture server can't raise a resolver exception over
+            # a socket, so it marks DNS-fail rows; translate back to
+            # the (status 0, error) row fetch_one produces, keeping
+            # real-vs-synthetic parity for out-of-world hosts
+            base["error"] = synth_err
+            base["content_type"] = resp.getheader("Content-Type") or ""
+            base["resp_ms"] = int((time.perf_counter() - t0) * 1000)
+            return base
         base["status_code"] = resp.status
         base["location"] = resp.getheader("Location")
         base["content_type"] = resp.getheader("Content-Type") or ""

@@ -27,15 +27,31 @@ DEFAULT_VECTORS: dict[str, list[str]] = {
 DEFAULT_SEED = 40039  # reference default, config/fuzzinginput.json:14
 
 
-def _pick(seed: int, slot: str, options: list[str]):
-    """Counter-hash choice as a Column: md5int(seed|slot|id) % n."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), F.lit(slot), F.col("id").cast("string"))), 1, 8),
+def _counter_hash(*parts: str):
+    """The fuzzer's counter hash as a Column: first 8 hex chars of
+    md5('|'.join(parts + [id])) as a bigint. Single shared
+    construction — _pick and _slot_hash both ride on it, and the
+    DuckDB oracles mirror it bit-for-bit, so there is exactly one
+    place where the hash recipe can drift."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.lit(p) for p in parts], F.col("id").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
         16,
         10,
     ).cast("bigint")
+
+
+def _pick(seed: int, slot: str, options: list[str]):
+    """Counter-hash choice as a Column: md5int(seed|slot|id) % n."""
     n = len(options)
-    idx = F.pmod(h, F.lit(n))
+    idx = F.pmod(_counter_hash(str(seed), slot), F.lit(n))
     expr = F.lit(options[0])
     for i in range(1, n):
         expr = F.when(idx == i, F.lit(options[i])).otherwise(expr)
@@ -49,11 +65,25 @@ def generate(
     vectors: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """One fuzz case per iteration: url assembled from hashed choices
-    (BuildLogic 'url', mainFuzzer.go:96-117 shape)."""
+    (BuildLogic 'url', mainFuzzer.go:96-117 shape).
+
+    BuildLogic 'url' consumes the scheme/host/path/payload classes; a
+    ``vectors`` grammar may carry extra unused classes (the reference's
+    Vectors map can too) but must provide those four — a grammar
+    without them raised an opaque UNRESOLVED_COLUMN from the final
+    projection instead of a usable error."""
     v = vectors or DEFAULT_VECTORS
+    missing = {"scheme", "host", "path", "payload"} - set(v)
+    if missing:
+        raise ValueError(
+            f"BuildLogic 'url' needs vector classes {sorted(missing)}; "
+            f"got {sorted(v)}"
+        )
+    if any(not opts for opts in v.values()):
+        raise ValueError("every vector class needs at least one option")
     df = spark.range(iterations).select(F.col("id").cast("bigint").alias("id"))
-    for slot, options in v.items():
-        df = df.withColumn(slot, _pick(seed, slot, options))
+    for slot in ("scheme", "host", "path", "payload"):
+        df = df.withColumn(slot, _pick(seed, slot, v[slot]))
     return df.select(
         "id",
         F.concat(
@@ -65,23 +95,7 @@ def generate(
 
 def _slot_hash(seed: int, tag: str, y: int):
     """Counter-hash Column for (seed, tag, slot y, row id)."""
-    return F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(seed)),
-                    F.lit(tag),
-                    F.lit(str(y)),
-                    F.col("id").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    return _counter_hash(str(seed), tag, str(y))
 
 
 def generate_random(
@@ -126,8 +140,12 @@ def oracle_random_sql(
     iterations: int = 1000,
     slots_per_case: int = 4,
     seed: int = DEFAULT_SEED,
+    vectors: dict[str, list[str]] | None = None,
 ) -> str:
-    """DuckDB twin of generate_random() — same md5 counter hashes."""
+    """DuckDB twin of generate_random() — same md5 counter hashes.
+    ``vectors`` must match the grammar passed to generate_random (a
+    custom grammar checked against the default-vector oracle would
+    silently mismatch)."""
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
@@ -138,7 +156,7 @@ def oracle_random_sql(
             f"cast(id as varchar)), 1, 8)) as bigint)"
         )
 
-    v = DEFAULT_VECTORS
+    v = vectors or DEFAULT_VECTORS
     keys = sorted(v)
     parts = []
     for y in range(slots_per_case):
@@ -168,8 +186,13 @@ FROM (SELECT unnest(generate_series(0, {iterations - 1})) AS id)
 """
 
 
-def oracle_sql(iterations: int = 1000, seed: int = DEFAULT_SEED) -> str:
-    """DuckDB twin of generate() — same md5 counter-hash choices."""
+def oracle_sql(
+    iterations: int = 1000,
+    seed: int = DEFAULT_SEED,
+    vectors: dict[str, list[str]] | None = None,
+) -> str:
+    """DuckDB twin of generate() — same md5 counter-hash choices.
+    ``vectors`` must match the grammar passed to generate()."""
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
@@ -184,7 +207,7 @@ def oracle_sql(iterations: int = 1000, seed: int = DEFAULT_SEED) -> str:
             expr = f"CASE WHEN ({h} % {n} + {n}) % {n} = {i} THEN {q(options[i])} ELSE {expr} END"
         return expr
 
-    v = DEFAULT_VECTORS
+    v = vectors or DEFAULT_VECTORS
     return f"""
 SELECT id,
   {pick('scheme', v['scheme'])} || '://' || {pick('host', v['host'])} ||

@@ -95,15 +95,21 @@ def sample_frames(videos: DataFrame, every_k: int = 4, n_tasks: int = 32) -> Dat
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                w, h, nf, fps = int(r.w), int(r.h), int(r.n_frames), int(r.fps)
+                # metadata is untrusted: null/negative dims, a zero
+                # fps, or a blob shorter than n_frames*stride
+                # (truncated upload) must degrade to skipped frames,
+                # not a frombuffer/zero-division/reshape error that
+                # fails the whole task — note stride<=0 alone passes
+                # a (-16,-16) pair, and int(None) raises before any
+                # arithmetic guard
+                try:
+                    w, h, nf, fps = int(r.w), int(r.h), int(r.n_frames), int(r.fps)
+                except (TypeError, ValueError):
+                    continue
+                if fps <= 0 or w <= 0 or h <= 0 or r.bytes is None:
+                    continue
                 stride = w * h * 3
                 blob = bytes(r.bytes)
-                # metadata is untrusted: a zero fps or a blob shorter
-                # than n_frames*stride (truncated upload) must degrade
-                # to skipped frames, not a frombuffer/zero-division
-                # error that fails the whole task
-                if fps <= 0 or stride <= 0:
-                    continue
                 nf = min(nf, len(blob) // stride)
                 for k in range(0, nf, every_k):
                     frame = np.frombuffer(
@@ -139,15 +145,20 @@ def audio_features(audio: DataFrame, n_tasks: int = 32) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                blob = bytes(r.bytes)
+                blob = bytes(r.bytes) if r.bytes is not None else b""
                 # odd-length blob (truncated pcm16): drop the dangling
-                # byte rather than crash frombuffer; sr<=0 → duration 0
+                # byte rather than crash frombuffer; null/junk sr →
+                # duration 0 (int(None) would raise before the sr>0
+                # guard and fail the whole task)
                 pcm = np.frombuffer(
                     blob[: len(blob) // 2 * 2], dtype="<i2"
                 ).astype(np.float64)
                 pcm /= 32768.0
                 n = len(pcm)
-                sr = int(r.sr)
+                try:
+                    sr = int(r.sr)
+                except (TypeError, ValueError):
+                    sr = 0
                 zc = int(np.count_nonzero(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
                 rows.append(
                     {

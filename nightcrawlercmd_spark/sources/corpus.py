@@ -75,6 +75,14 @@ def _known_hosts(cfg: WorldConfig) -> frozenset[str]:
     return frozenset(hosts(cfg)) | frozenset(out_of_scope(cfg))
 
 
+@lru_cache(maxsize=32)
+def _image_ids(cfg: WorldConfig) -> frozenset[str]:
+    """Every image id the world's pages can reference — the validity
+    set for the /img payload route (unknown ids 404). Cached per
+    config: O(pages) once per executor, not per fetch."""
+    return frozenset(image_id_of(cfg, u) for u in all_page_urls(cfg))
+
+
 def n_pages(cfg: WorldConfig, host: str) -> int:
     if host.startswith("host00."):
         return cfg.base_pages * cfg.hot_factor
@@ -206,6 +214,19 @@ def fetch_one(cfg: WorldConfig, canon_url: str) -> dict:
         base["status_code"] = 0
         base["error"] = "dns: no such host"
         base["body"] = b""
+        return base
+    # image payload route: pages embed <img src="/img/{id}.png">, and
+    # load_resources crawls enqueue those URLs — the synthetic GET must
+    # answer them exactly like WorldHTTPServer does (a 404 here with a
+    # 200 from the real server broke real-vs-synthetic crawl parity).
+    # Unknown ids 404 like any unknown path.
+    if path.startswith("/img/") and path.endswith(".png"):
+        image_id = path[len("/img/"):-len(".png")]
+        if image_id in _image_ids(cfg):
+            img, _, _, fmt = gen_image(cfg, image_id)
+            base["status_code"] = 200
+            base["content_type"] = "application/octet-stream"
+            base["body"] = encode(img, fmt)
         return base
     j = None
     if path == "/":

@@ -177,6 +177,13 @@ def write_xlsx(df, path: str, sheet_name: str = "Report") -> None:
                 )
             return f'<c r="{ref}"><v>{v!r}</v></c>'
         if isinstance(v, (int, decimal.Decimal)):
+            # Decimal('NaN')/Decimal('Infinity') would emit the same
+            # invalid <v> lexical form the float branch guards against
+            if isinstance(v, decimal.Decimal) and not v.is_finite():
+                return (
+                    f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t>'
+                    "</is></c>"
+                )
             return f'<c r="{ref}"><v>{v}</v></c>'
         # everything else (strings, timestamps, binary reprs) → text
         return (

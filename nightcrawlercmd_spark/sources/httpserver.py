@@ -21,7 +21,7 @@ from __future__ import annotations
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .corpus import WorldConfig, fetch_one, gen_image
+from .corpus import WorldConfig, _image_ids, _known_hosts, fetch_one, gen_image
 from ..functions.codecs_np import encode
 
 
@@ -40,8 +40,33 @@ class WorldHTTPServer:
 
             def do_GET(self):
                 vhost = (self.headers.get("Host") or "").split(":")[0]
-                if self.path.startswith("/img/") and self.path.endswith(".png"):
+                # payload channel: fetch_image addresses the server by
+                # its bind address (a CDN-style direct request); crawl
+                # fetches of /img URLs carry a world vhost and must
+                # answer exactly like the synthetic fetch_one — an
+                # unconditional intercept served 200s that the
+                # sequential oracle logged as 404/DNS-fail, breaking
+                # load_resources parity. Unknown image ids 404.
+                if (
+                    self.path.startswith("/img/")
+                    and self.path.endswith(".png")
+                    and (
+                        vhost == self.server.server_address[0]
+                        or vhost in _known_hosts(outer.world)
+                    )
+                ):
                     image_id = self.path[len("/img/"):-len(".png")]
+                    if image_id not in _image_ids(outer.world):
+                        if vhost not in _known_hosts(outer.world):
+                            # payload-channel miss (bind-address vhost):
+                            # a plain 404, there is no world page to ask
+                            self.send_response(404)
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            return
+                        # crawl-fetch miss: serve fetch_one's 404 page
+                        # so real and synthetic bodies stay identical
+                        return self._serve_page(vhost)
                     img, w, h, fmt = gen_image(outer.world, image_id)
                     blob = encode(img, fmt)
                     self.send_response(200)
@@ -53,12 +78,22 @@ class WorldHTTPServer:
                     self.end_headers()
                     self.wfile.write(blob)
                     return
+                self._serve_page(vhost)
+
+            def _serve_page(self, vhost):
                 page = fetch_one(outer.world, f"http://{vhost}{self.path}")
                 status = page["status_code"] or 502  # 0 = synthetic DNS fail
                 body = page["body"] or b""
                 self.send_response(status)
                 if page["location"]:
                     self.send_header("Location", page["location"])
+                if page["status_code"] == 0 and page["error"]:
+                    # a real client surfaces resolver failures as
+                    # exceptions, not responses; the virtual-hosted
+                    # fixture can only answer over the socket, so it
+                    # marks the row and HttpFetcher translates it back
+                    # to (status 0, error) for oracle parity
+                    self.send_header("X-Synthetic-Error", page["error"])
                 self.send_header("Content-Type", page["content_type"])
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()

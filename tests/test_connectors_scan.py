@@ -189,3 +189,33 @@ def test_port_scan_out_of_range_tokens_dropped(spark):
         spark, "h.test", port_list="22,4000000000,-1,70000,443"
     ).collect()
     assert sorted(r["port"] for r in rows) == [22, 443]
+
+
+def test_fuzzer_custom_grammar_and_validation(spark):
+    """A custom grammar must flow through generate() AND its oracle
+    (both hard-coded the default vectors before); a grammar missing a
+    BuildLogic-'url' slot raises a usable error, not
+    UNRESOLVED_COLUMN from the final projection."""
+    import pytest
+
+    v = {
+        "scheme": ["ftp"],
+        "host": ["x.test", "y.test"],
+        "path": ["/only"],
+        "payload": ["%0a", "()"],
+        "unused_class": ["ignored"],  # extra classes are legal
+    }
+    got = {
+        (r["id"], r["fuzz_url"])
+        for r in fuzzing.generate(spark, 100, vectors=v).collect()
+    }
+    want = set(
+        duckdb.connect().execute(fuzzing.oracle_sql(100, vectors=v)).fetchall()
+    )
+    assert got == want and len(got) == 100
+    with pytest.raises(ValueError, match="scheme"):
+        fuzzing.generate(spark, 10, vectors={"host": ["a"], "path": ["/"],
+                                             "payload": ["x"]})
+    with pytest.raises(ValueError, match="at least one option"):
+        fuzzing.generate(spark, 10, vectors={"scheme": [], "host": ["a"],
+                                             "path": ["/"], "payload": ["x"]})

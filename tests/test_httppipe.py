@@ -129,3 +129,33 @@ def test_pipe_request_fires_parsed_request():
             assert r2["headers"].get("location") == w["location"]
     finally:
         srv.stop()
+
+
+def test_xlsx_decimal_nonfinite_cells(tmp_path):
+    """Decimal('NaN')/Decimal('Infinity') must become text cells like
+    their float counterparts — the numeric branch emitted <v>NaN</v>,
+    which is not a valid SpreadsheetML number lexical form."""
+    import decimal
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    class _Rows:  # duck-typed: Spark decimals can't hold NaN, but the
+        columns = ["k", "v"]  # sink is also used on plain collected rows
+
+        @staticmethod
+        def collect():
+            return [
+                {"k": 1, "v": decimal.Decimal("NaN")},
+                {"k": 2, "v": decimal.Decimal("Infinity")},
+                {"k": 3, "v": decimal.Decimal("1.25")},
+            ]
+
+    path = str(tmp_path / "d.xlsx")
+    write_xlsx(_Rows, path)
+    with zipfile.ZipFile(path) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "<v>NaN</v>" not in sheet and "<v>Infinity</v>" not in sheet
+    root = ET.fromstring(sheet)
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    numeric = [v.text for v in root.findall(".//m:c[m:v]/m:v", ns)]
+    assert "1.25" in numeric  # finite Decimals stay numeric cells

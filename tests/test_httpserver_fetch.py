@@ -79,3 +79,29 @@ def test_real_http_crawl_matches_oracle(spark, tmp_path_factory, server):
     # payload columns made it through the real-HTTP path
     pages = eng.pages().filter("status_code = 200")
     assert pages.filter("img_phash IS NULL").count() == 0
+
+
+def test_img_route_parity_and_dns_fail(server):
+    """The /img payload route and the DNS-fail translation must agree
+    row-for-row between the real-socket fetcher and fetch_one: an
+    unconditional server-side /img intercept used to answer 200 where
+    the synthetic responder said 404/DNS-fail, breaking load_resources
+    parity (and 502 hid the resolver error for out-of-world hosts)."""
+    fetcher = HttpFetcher(server.endpoint)
+    page = fetch_one(WORLD, f"http://host00.{WORLD.tag}.test/p/0")
+    cases = [
+        # valid image id on a known host → 200 payload both ways
+        f"http://host00.{WORLD.tag}.test/img/{page['image_id']}.png",
+        # made-up id on a known host → 404 both ways
+        f"http://host00.{WORLD.tag}.test/img/img-0000000000000000.png",
+        # /img on an unknown host → synthetic DNS failure both ways
+        f"http://nosuch.{WORLD.tag}.test/img/{page['image_id']}.png",
+        # plain page on an unknown host → DNS failure both ways
+        f"http://nosuch.{WORLD.tag}.test/p/0",
+    ]
+    for u in cases:
+        want = fetch_one(WORLD, u)
+        got = fetcher.fetch(u)
+        assert got["status_code"] == want["status_code"], u
+        assert got["error"] == want["error"], u
+        assert bytes(got["body"] or b"") == bytes(want["body"] or b""), u

@@ -51,3 +51,44 @@ def test_audio_features_deterministic_and_physical(spark):
     # determinism: a second run is identical
     again = {r["audio_id"]: r for r in audio_features(audio, n_tasks=4).collect()}
     assert got == again
+
+
+def test_corrupt_metadata_degrades_per_row(spark):
+    """Null/negative metadata must skip that row, never kill the task:
+    stride<=0 alone let a (-16,-16) pair through to reshape, and
+    int(None) raised before any guard."""
+    import pandas as pd
+
+    good = videos_pdf(WORLD, 2)
+    bad = pd.DataFrame(
+        [
+            {"video_id": "neg", "bytes": b"\x00" * 768, "w": -16, "h": -16,
+             "n_frames": 1, "fps": 10},
+            {"video_id": "nullmeta", "bytes": b"\x00" * 768, "w": None,
+             "h": 16, "n_frames": 1, "fps": 10},
+            {"video_id": "nullblob", "bytes": None, "w": 16, "h": 16,
+             "n_frames": 1, "fps": 10},
+        ]
+    )
+    videos = spark.createDataFrame(
+        pd.concat([good, bad], ignore_index=True),
+        "video_id string, bytes binary, w int, h int, n_frames int, fps int",
+    )
+    rows = sample_frames(videos, every_k=4, n_tasks=2).collect()
+    assert {r["video_id"] for r in rows} == set(good["video_id"])
+
+    agood = audios_pdf(WORLD, 2)
+    abad = pd.DataFrame(
+        [
+            {"audio_id": "nullsr", "bytes": b"\x01\x02\x03\x04", "sr": None},
+            {"audio_id": "nullblob", "bytes": None, "sr": 8000},
+        ]
+    )
+    audio = spark.createDataFrame(
+        pd.concat([agood, abad], ignore_index=True),
+        "audio_id string, bytes binary, sr int",
+    )
+    feats = {r["audio_id"]: r for r in audio_features(audio, n_tasks=2).collect()}
+    assert set(feats) == set(agood["audio_id"]) | {"nullsr", "nullblob"}
+    assert feats["nullsr"]["duration_ms"] == 0  # sr missing → duration 0
+    assert feats["nullblob"]["n_samples"] == 0  # blob missing → empty clip
