@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round6
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
@@ -36,7 +38,7 @@ def cosine_to_query(emb: DataFrame, query_vec: list[float]) -> DataFrame:
     # them
     return emb.select(
         "vec_id",
-        F.when(denom > 0, F.round(_dot(e, q) / denom, 6)).alias("sim"),
+        F.when(denom > 0, round6(_dot(e, q) / denom)).alias("sim"),
     )
 
 
@@ -145,7 +147,11 @@ def ivf_topk(
         cn = math.sqrt(sum(x * x for x in c))
         if cn == 0:  # zero-norm 'centroid': sort last, never probed first
             return float("-inf")
-        return round(sum(a * b for a, b in zip(query_vec, c)) / (qn * cn), 6)
+        # same floor(x*1e6+0.5)/1e6 as round6/sql_round6 — Python's
+        # round() is banker's and would disagree with both engines on
+        # half boundaries when picking probe cells
+        x = sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+        return math.floor(x * 1e6 + 0.5) / 1e6
 
     probe_ids = sorted(
         cid for cid, _ in sorted(cents, key=lambda t: (-_drv_cos(t[1]), t[0]))[:nprobe]
@@ -164,10 +170,9 @@ def ivf_topk(
                         F.when(
                             (vn > 0)
                             & (F.lit(math.sqrt(sum(x * x for x in c))) > 0),
-                            F.round(
+                            round6(
                                 _dot(v, F.array(*[F.lit(x) for x in c]))
-                                / (vn * F.lit(math.sqrt(sum(x * x for x in c)))),
-                                6,
+                                / (vn * F.lit(math.sqrt(sum(x * x for x in c))))
                             ),
                         ),
                         F.lit(-2.0),  # zero-norm row/centroid: below any cosine
@@ -188,7 +193,7 @@ def ivf_topk(
             "vec_id",
             F.when(
                 vn * F.lit(qn) > 0,
-                F.round(_dot(v, q) / (vn * F.lit(qn)), 6),
+                round6(_dot(v, q) / (vn * F.lit(qn))),
             ).alias("sim"),
             "cell",
         )
@@ -233,7 +238,7 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("cos_sim"),
+            round6(sim).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -246,9 +251,9 @@ def norm_stats_by_label(emb: DataFrame) -> DataFrame:
         emb.select("label", _norm(e).alias("nrm"))
         .groupBy("label")
         .agg(
-            F.round(F.avg("nrm"), 6).alias("avg_norm"),
-            F.round(F.min("nrm"), 6).alias("min_norm"),
-            F.round(F.max("nrm"), 6).alias("max_norm"),
+            round6(F.avg("nrm")).alias("avg_norm"),
+            round6(F.min("nrm")).alias("min_norm"),
+            round6(F.max("nrm")).alias("max_norm"),
             F.count("*").alias("n"),
         )
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round6
+
 WORD_RE = r"[a-zA-Z][a-z]{3,}"  # reference regex, mainWordlist.go:17
 # reference extractor regexes (mainWordlist.go:18-22), O28. Kept in a
 # Java-regex ∩ RE2 common dialect so Spark and the DuckDB oracle agree
@@ -159,10 +161,17 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 8, k: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    k: int = 3,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
     """doc_id + n_hashes MinHash values (mh0..mhN). One explode + one
-    groupBy — the P permutations are P columns, not P passes."""
-    sh = shingle_table(docs, k)
+    groupBy — the P permutations are P columns, not P passes.
+    ``shingles_df`` lets a composed pipeline share one (materialized)
+    shingle table instead of re-deriving it per stage."""
+    sh = shingles_df if shingles_df is not None else shingle_table(docs, k)
     aggs = [
         F.min(md5i(F.concat(F.lit(f"p{p}|"), F.col("shingle")))).alias(f"mh{p}")
         for p in range(n_hashes)
@@ -171,7 +180,11 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, k: int = 3) -> DataFr
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n_hashes: int = 8, band_size: int = 2, k: int = 3
+    docs: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: band the signature, bucket-join.
     The self-join is on (band_id, band_hash) — only colliding buckets
@@ -182,7 +195,7 @@ def minhash_lsh_pairs(
             f"({band_size}) — trailing MinHash values would be computed "
             "and silently unused, delivering less recall than configured"
         )
-    sig = minhash_signatures(docs, n_hashes, k)
+    sig = minhash_signatures(docs, n_hashes, k, shingles_df=shingles_df)
     n_bands = n_hashes // band_size
     bands = sig.select(
         "doc_id",
@@ -242,6 +255,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.1,
     candidates: DataFrame | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs.
 
@@ -250,8 +264,9 @@ def ngram_jaccard_pairs(
     shingle-intersection join (see ``near_dup_lsh_exact``). Without it,
     pairs are blocked on the low-cardinality ``source`` column — fine
     as a small-scale verifier, but near-quadratic within a block at
-    100 TB; never ship that form at scale."""
-    sh = shingle_table(docs, k)
+    100 TB; never ship that form at scale. ``shingles_df`` shares one
+    shingle table across stages (see near_dup_lsh_exact)."""
+    sh = shingles_df if shingles_df is not None else shingle_table(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is not None:
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -287,8 +302,8 @@ def ngram_jaccard_pairs(
         )
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            round6(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -316,9 +331,27 @@ def near_dup_lsh_exact(
     band_size=1 (P = 1-(1-J)^8: ~57% at J=0.1) — the exact re-rank
     stage filters the extra false-positive candidates, so wider
     banding costs candidates, not correctness. See
-    ``lsh_candidate_prob`` to size the banding for a target J."""
-    cands = minhash_lsh_pairs(docs, n_hashes=n_hashes, band_size=band_size, k=k)
-    return ngram_jaccard_pairs(docs, k=k, threshold=threshold, candidates=cands)
+    ``lsh_candidate_prob`` to size the banding for a target J.
+
+    Cost contract: the shingle table — the most expensive derivation
+    (full corpus scan, regex split, explode, distinct shuffle) — is
+    built ONCE and persisted, then shared by all four consumers
+    (signature agg, size agg, both sides of the intersection join).
+    Without the explicit persist Spark evaluates the subplan per
+    consumer (no ReusedExchange fires across these differently-keyed
+    aggregations: measured 6 parquet scans for this composition). The
+    persist is MEMORY_AND_DISK and LRU-evicted; a caller running this
+    as a standalone 100-TB job would materialize the shingle table to
+    a temp parquet instead — same barrier, explicit lifetime."""
+    from pyspark import StorageLevel
+
+    sh = shingle_table(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_lsh_pairs(
+        docs, n_hashes=n_hashes, band_size=band_size, k=k, shingles_df=sh
+    )
+    return ngram_jaccard_pairs(
+        docs, k=k, threshold=threshold, candidates=cands, shingles_df=sh
+    )
 
 
 def lsh_candidate_prob(jaccard: float, n_hashes: int = 8, band_size: int = 2) -> float:
@@ -336,7 +369,7 @@ def langid(docs: DataFrame) -> DataFrame:
     w = F.split(F.lower(F.col("text")), " ")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
-    ratio = F.round(n_stop / F.greatest(F.size(w), F.lit(1)), 6)
+    ratio = round6(n_stop / F.greatest(F.size(w), F.lit(1)))
     return docs.select(
         "doc_id",
         ratio.alias("stop_ratio"),
@@ -349,22 +382,23 @@ def quality_score(docs: DataFrame) -> DataFrame:
     w = F.split(F.col("text"), " ")
     n_tokens = F.size(w)
     alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
-    alpha_ratio = F.round(alpha_chars / F.greatest(F.length("text"), F.lit(1)), 6)
+    alpha_ratio = round6(alpha_chars / F.greatest(F.length("text"), F.lit(1)))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_ratio = F.round(
+    stop_ratio = round6(
         F.size(F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.array_contains(stop_arr, x)))
-        / F.greatest(n_tokens, F.lit(1)),
-        6,
+        / F.greatest(n_tokens, F.lit(1))
     )
     raw = (
         F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.5
         + alpha_ratio * 0.3
         + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * 0.2
     )
-    # floor(x*1e6+0.5)/1e6 instead of round(): pure double arithmetic,
+    # round6 (functions/numeric.py): pure double arithmetic,
     # bit-identical across engines (Spark round is decimal HALF_UP,
-    # DuckDB rounds the float — they disagree on half boundaries)
-    score = F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # DuckDB rounds the float — they disagree on half boundaries);
+    # applied to the component ratios above too, so no column in this
+    # family carries the divergent round() pair
+    score = round6(raw)
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round6
 from ..operators import annsearch as ANN
 from ..operators import graphs as G
 from ..operators import textops as T
@@ -803,11 +804,11 @@ inter AS (
   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
-       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+       floor((inter / (sa.sz + sb.sz - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05
+WHERE floor((inter / (sa.sz + sb.sz - inter)) * 1000000 + 0.5) / 1000000 >= 0.05
 """
 
 
@@ -899,11 +900,11 @@ sized AS (SELECT doc_id, cluster_id,
 qual AS (
   SELECT doc_id,
     floor((least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.5
-           + round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                   / greatest(length(text), 1), 6) * 0.3
-           + least(round(len(list_filter(string_split(lower(text), ' '),
+           + floor((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / greatest(length(text), 1)) * 1000000 + 0.5) / 1000000 * 0.3
+           + least(floor((len(list_filter(string_split(lower(text), ' '),
                                          x -> x IN ({_STOPS})))
-                   / greatest(len(string_split(text, ' ')), 1), 6) * 10.0, 1.0)
+                   / greatest(len(string_split(text, ' ')), 1)) * 1000000 + 0.5) / 1000000 * 10.0, 1.0)
              * 0.2) * 1e6 + 0.5) / 1e6 AS quality
   FROM documents),
 ranked AS (
@@ -948,11 +949,11 @@ inter AS (
     ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
-       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+       floor((inter / (sa.sz + sb.sz - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05
+WHERE floor((inter / (sa.sz + sb.sz - inter)) * 1000000 + 0.5) / 1000000 >= 0.05
 """
 
 
@@ -966,10 +967,10 @@ def q_langid(spark, sf):
 
 SQL_LANGID = f"""
 SELECT doc_id,
-  round(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOPS})))
-        / greatest(len(string_split(lower(text), ' ')), 1), 6) AS stop_ratio,
-  CASE WHEN round(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOPS})))
-        / greatest(len(string_split(lower(text), ' ')), 1), 6) >= 0.02
+  floor((len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOPS})))
+        / greatest(len(string_split(lower(text), ' ')), 1)) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+  CASE WHEN floor((len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOPS})))
+        / greatest(len(string_split(lower(text), ' ')), 1)) * 1000000 + 0.5) / 1000000 >= 0.02
        THEN 'en' ELSE 'unk' END AS lang_pred
 FROM documents
 """
@@ -983,10 +984,10 @@ SQL_QUALITY_SCORE = f"""
 WITH f AS (
   SELECT doc_id,
     len(string_split(text, ' ')) AS n_tokens,
-    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-          / greatest(length(text), 1), 6) AS alpha_ratio,
-    round(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOPS})))
-          / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio
+    floor((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+          / greatest(length(text), 1)) * 1000000 + 0.5) / 1000000 AS alpha_ratio,
+    floor((len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOPS})))
+          / greatest(len(string_split(text, ' ')), 1)) * 1000000 + 0.5) / 1000000 AS stop_ratio
   FROM documents)
 SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
   floor((least(n_tokens / 64.0, 1.0) * 0.5 + alpha_ratio * 0.3
@@ -1082,7 +1083,7 @@ def q_tfidf_top_terms(spark, sf):
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+            round6(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -1104,7 +1105,7 @@ dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY word),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, word, tf, df,
-         round(tf * ln(n_docs / df), 6) AS tfidf
+         floor((tf * ln(n_docs / df)) * 1000000 + 0.5) / 1000000 AS tfidf
   FROM tf JOIN dfreq USING (word) CROSS JOIN n),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -1175,8 +1176,8 @@ def q_source_percentiles(spark, sf):
         .agg(pct.alias("p"), F.count("*").alias("n_docs"))
         .select(
             "source",
-            F.round(F.col("p")[0], 6).alias("p50_chars"),
-            F.round(F.col("p")[1], 6).alias("p90_chars"),
+            round6(F.col("p")[0]).alias("p50_chars"),
+            round6(F.col("p")[1]).alias("p90_chars"),
             "n_docs",
         )
     )
@@ -1184,8 +1185,8 @@ def q_source_percentiles(spark, sf):
 
 SQL_SOURCE_PERCENTILES = """
 SELECT source,
-       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
-       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       floor((quantile_cont(n_chars, 0.5)) * 1000000 + 0.5) / 1000000 AS p50_chars,
+       floor((quantile_cont(n_chars, 0.9)) * 1000000 + 0.5) / 1000000 AS p90_chars,
        count(*) AS n_docs
 FROM documents GROUP BY source
 """
@@ -1208,8 +1209,8 @@ def q_ann_cosine_topk(spark, sf):
 
 SQL_ANN_COSINE_TOPK = """
 SELECT vec_id,
-  round(list_cosine_similarity(cast(embedding as double[]),
-    (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+  floor((list_cosine_similarity(cast(embedding as double[]),
+    (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0))) * 1000000 + 0.5) / 1000000 AS sim
 FROM embeddings
 ORDER BY sim DESC, vec_id LIMIT 10
 """
@@ -1226,9 +1227,9 @@ SQL_EMBEDDING_NEAR_DUP = """
 WITH n AS (
   SELECT vec_id, label, cast(embedding as double[]) AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+       floor((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000 AS cos_sim
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+WHERE floor((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000 >= 0.35
 """
 
 
@@ -1260,9 +1261,9 @@ b AS (SELECT vec_id, v,
        {bucket} AS bucket
       FROM n)
 SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+       floor((list_cosine_similarity(a.v, c.v)) * 1000000 + 0.5) / 1000000 AS cos_sim
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.35
+WHERE floor((list_cosine_similarity(a.v, c.v)) * 1000000 + 0.5) / 1000000 >= 0.35
 """
 
 
@@ -1288,13 +1289,13 @@ q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
 assign AS (
   SELECT vec_id, v, cid,
          row_number() OVER (PARTITION BY vec_id
-            ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cid) AS rk
+            ORDER BY floor((list_cosine_similarity(v, cv)) * 1000000 + 0.5) / 1000000 DESC, cid) AS rk
   FROM v CROSS JOIN c),
 cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rk = 1),
 probe AS (SELECT cid FROM c CROSS JOIN q
-          ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid LIMIT 2)
+          ORDER BY floor((list_cosine_similarity(cv, qv)) * 1000000 + 0.5) / 1000000 DESC, cid LIMIT 2)
 SELECT vec_id,
-       round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim,
+       floor((list_cosine_similarity(v, (SELECT qv FROM q))) * 1000000 + 0.5) / 1000000 AS sim,
        cast(cell as bigint) AS cell
 FROM cells WHERE cell IN (SELECT cid FROM probe)
 ORDER BY sim DESC, vec_id LIMIT 10
@@ -1307,8 +1308,8 @@ def q_embedding_norms(spark, sf):
 
 SQL_EMBEDDING_NORMS = """
 SELECT label,
-  round(avg(nrm), 6) AS avg_norm, round(min(nrm), 6) AS min_norm,
-  round(max(nrm), 6) AS max_norm, count(*) AS n
+  floor((avg(nrm)) * 1000000 + 0.5) / 1000000 AS avg_norm, floor((min(nrm)) * 1000000 + 0.5) / 1000000 AS min_norm,
+  floor((max(nrm)) * 1000000 + 0.5) / 1000000 AS max_norm, count(*) AS n
 FROM (SELECT label,
         sqrt(list_aggregate(list_transform(cast(embedding as double[]),
                                            x -> x * x), 'sum')) AS nrm
@@ -1338,8 +1339,6 @@ def q_crawl_e2e(spark, sf):
     """
     import os
 
-    import pandas as pd
-
     from ..sources.corpus import WorldConfig
     from ..streaming.engine import CrawlEngine, EngineConfig, STATE_VERSION
     from ..streaming.simulator import simulate
@@ -1362,11 +1361,16 @@ def q_crawl_e2e(spark, sf):
         "round int, seq int, canon_url string, o_status int",
     )
     log = eng.crawl_log()
+    # FULL join, not left: an engine regression that silently drops
+    # trailing log rows must surface as unmatched oracle rows in the
+    # driver's value hash, not vanish from the join
     return (
-        log.join(F.broadcast(oracle), ["round", "seq", "canon_url"], "left")
+        log.join(F.broadcast(oracle), ["round", "seq", "canon_url"], "full")
         .withColumn(
             "matches_oracle",
-            F.col("o_status").isNotNull() & (F.col("o_status") == F.col("status_code")),
+            F.col("o_status").isNotNull()
+            & F.col("status_code").isNotNull()
+            & (F.col("o_status") == F.col("status_code")),
         )
         .drop("o_status")
         .orderBy("round", "seq")
@@ -1466,8 +1470,6 @@ def q_video_frames(spark, sf):
     hash, not just a count drift."""
     import hashlib
 
-    import pandas as pd
-
     from ..sources.corpus import WorldConfig, gen_video_frame, videos_pdf
 
     world = WorldConfig(tag="drv-vid")
@@ -1515,7 +1517,6 @@ def q_audio_features(spark, sf):
     exact; floats within 1e-9 (same float64 arithmetic, different
     execution path — this pins the Arrow batch plumbing and the
     pcm16 normalization, not just the formulas)."""
-    import pandas as pd
 
     from ..sources.corpus import WorldConfig, audios_pdf
 
@@ -1647,7 +1648,6 @@ def q_dns_sweep(spark, sf):
 def q_bucket_scan(spark, sf):
     """O54+O34+O45: words × providers cross join, {w} substitution,
     status classification (simulated probe → rows-only)."""
-    import pandas as pd
 
     from ..sources.connectors import bucket_scan
 
@@ -2220,7 +2220,8 @@ def q_training_shards(spark, sf):
     from ..sources import shards as SH
 
     docs = _t(spark, sf, "documents")
-    out = f"/dev/shm/ncs_shards_q/{os.path.basename(sf.rstrip('/'))}"
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    out = os.path.join(base, "ncs_shards_q", os.path.basename(sf.rstrip("/")))
     SH.write_training_shards(docs, out, key_col="doc_id", n_shards=8)
     return SH.shard_manifest(spark, out).select(
         F.col("shard").cast("int").alias("shard"), "n_rows"
