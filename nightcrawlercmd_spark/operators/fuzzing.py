@@ -58,6 +58,26 @@ def _pick(seed: int, slot: str, options: list[str]):
     return expr
 
 
+def _validated(vectors, url_slots: bool):
+    """Shared grammar validation for all four entry points (generate /
+    generate_random and their DuckDB oracle twins — a bad grammar must
+    fail the same usable way whichever side sees it first, not with a
+    KeyError/IndexError from whichever expression builder trips)."""
+    v = vectors or DEFAULT_VECTORS
+    if not v:
+        raise ValueError("the vector grammar needs at least one class")
+    if url_slots:
+        missing = {"scheme", "host", "path", "payload"} - set(v)
+        if missing:
+            raise ValueError(
+                f"BuildLogic 'url' needs vector classes {sorted(missing)}; "
+                f"got {sorted(v)}"
+            )
+    if any(not opts for opts in v.values()):
+        raise ValueError("every vector class needs at least one option")
+    return v
+
+
 def generate(
     spark: SparkSession,
     iterations: int = 1000,
@@ -72,15 +92,7 @@ def generate(
     Vectors map can too) but must provide those four — a grammar
     without them raised an opaque UNRESOLVED_COLUMN from the final
     projection instead of a usable error."""
-    v = vectors or DEFAULT_VECTORS
-    missing = {"scheme", "host", "path", "payload"} - set(v)
-    if missing:
-        raise ValueError(
-            f"BuildLogic 'url' needs vector classes {sorted(missing)}; "
-            f"got {sorted(v)}"
-        )
-    if any(not opts for opts in v.values()):
-        raise ValueError("every vector class needs at least one option")
+    v = _validated(vectors, url_slots=True)
     df = spark.range(iterations).select(F.col("id").cast("bigint").alias("id"))
     for slot in ("scheme", "host", "path", "payload"):
         df = df.withColumn(slot, _pick(seed, slot, v[slot]))
@@ -116,7 +128,7 @@ def generate_random(
     here keys are sorted, and both choices are counter hashes
     (md5int(seed|tag|slot|id)) so the output is deterministic, identical
     under any partitioning, and ANSI-SQL oracle-checkable."""
-    v = vectors or DEFAULT_VECTORS
+    v = _validated(vectors, url_slots=False)
     keys = sorted(v)
     df = spark.range(iterations).select(F.col("id").cast("bigint").alias("id"))
     parts = []
@@ -156,7 +168,7 @@ def oracle_random_sql(
             f"cast(id as varchar)), 1, 8)) as bigint)"
         )
 
-    v = vectors or DEFAULT_VECTORS
+    v = _validated(vectors, url_slots=False)
     keys = sorted(v)
     parts = []
     for y in range(slots_per_case):
@@ -207,7 +219,7 @@ def oracle_sql(
             expr = f"CASE WHEN ({h} % {n} + {n}) % {n} = {i} THEN {q(options[i])} ELSE {expr} END"
         return expr
 
-    v = vectors or DEFAULT_VECTORS
+    v = _validated(vectors, url_slots=True)
     return f"""
 SELECT id,
   {pick('scheme', v['scheme'])} || '://' || {pick('host', v['host'])} ||

@@ -317,6 +317,7 @@ def near_dup_lsh_exact(
     band_size: int = 2,
     k: int = 3,
     threshold: float = 0.1,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """The composed scale path: MinHash-LSH candidate generation →
     exact n-gram-Jaccard re-rank. Both stages are bucket-joins — the
@@ -340,12 +341,19 @@ def near_dup_lsh_exact(
     Without the explicit persist Spark evaluates the subplan per
     consumer (no ReusedExchange fires across these differently-keyed
     aggregations: measured 6 parquet scans for this composition). The
-    persist is MEMORY_AND_DISK and LRU-evicted; a caller running this
-    as a standalone 100-TB job would materialize the shingle table to
-    a temp parquet instead — same barrier, explicit lifetime."""
-    from pyspark import StorageLevel
+    persist is MEMORY_AND_DISK and LRU-evicted; the internally-built
+    cache lives until session end, so a caller invoking this in a loop
+    (per scale factor, per corpus slice) should pass ``shingles_df`` —
+    built via ``shingle_table(docs, k)`` — and own its persist/
+    unpersist lifetime. A standalone 100-TB job would materialize the
+    shingle table to a temp parquet instead — same barrier, explicit
+    lifetime."""
+    if shingles_df is not None:
+        sh = shingles_df
+    else:
+        from pyspark import StorageLevel
 
-    sh = shingle_table(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+        sh = shingle_table(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_pairs(
         docs, n_hashes=n_hashes, band_size=band_size, k=k, shingles_df=sh
     )

@@ -905,7 +905,7 @@ qual AS (
            + least(floor((len(list_filter(string_split(lower(text), ' '),
                                          x -> x IN ({_STOPS})))
                    / greatest(len(string_split(text, ' ')), 1)) * 1000000 + 0.5) / 1000000 * 10.0, 1.0)
-             * 0.2) * 1e6 + 0.5) / 1e6 AS quality
+             * 0.2) * 1000000 + 0.5) / 1000000 AS quality
   FROM documents),
 ranked AS (
   SELECT cluster_id, s.doc_id, quality, cluster_size,
@@ -991,7 +991,7 @@ WITH f AS (
   FROM documents)
 SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
   floor((least(n_tokens / 64.0, 1.0) * 0.5 + alpha_ratio * 0.3
-         + least(stop_ratio * 10.0, 1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
+         + least(stop_ratio * 10.0, 1.0) * 0.2) * 1000000 + 0.5) / 1000000 AS quality
 FROM f
 """
 
@@ -1365,12 +1365,15 @@ def q_crawl_e2e(spark, sf):
     # trailing log rows must surface as unmatched oracle rows in the
     # driver's value hash, not vanish from the join
     return (
-        log.join(F.broadcast(oracle), ["round", "seq", "canon_url"], "full")
+        log.join(oracle, ["round", "seq", "canon_url"], "full")
         .withColumn(
             "matches_oracle",
-            F.col("o_status").isNotNull()
-            & F.col("status_code").isNotNull()
-            & (F.col("o_status") == F.col("status_code")),
+            F.coalesce(
+                F.col("o_status").isNotNull()
+                & F.col("status_code").isNotNull()
+                & (F.col("o_status") == F.col("status_code")),
+                F.lit(False),
+            ),
         )
         .drop("o_status")
         .orderBy("round", "seq")
@@ -1446,11 +1449,14 @@ def q_multimodal_thumbs(spark, sf):
         pd.DataFrame(exp), "image_id string, o_md5 string"
     )
     return (
-        thumbs.join(F.broadcast(oracle), "image_id", "full")
+        thumbs.join(oracle, "image_id", "full")
         .withColumn(
             "thumb_ok",
-            (F.length("thumb") == F.lit(size * size * 3))
-            & (F.md5("thumb") == F.col("o_md5")),
+            F.coalesce(
+                (F.length("thumb") == F.lit(size * size * 3))
+                & (F.md5("thumb") == F.col("o_md5")),
+                F.lit(False),
+            ),
         )
         .drop("o_md5")
     )
@@ -1495,12 +1501,15 @@ def q_video_frames(spark, sf):
         "video_id string, frame_idx int, o_md5 string, o_t_ms int",
     )
     return (
-        frames.join(F.broadcast(oracle), ["video_id", "frame_idx"], "full")
+        frames.join(oracle, ["video_id", "frame_idx"], "full")
         .withColumn(
             "frame_ok",
-            F.col("o_md5").isNotNull()
-            & (F.md5("frame") == F.col("o_md5"))
-            & (F.col("t_ms") == F.col("o_t_ms")),
+            F.coalesce(
+                F.col("o_md5").isNotNull()
+                & (F.md5("frame") == F.col("o_md5"))
+                & (F.col("t_ms") == F.col("o_t_ms")),
+                F.lit(False),
+            ),
         )
         .drop("o_md5", "o_t_ms")
     )
@@ -1523,10 +1532,10 @@ def q_audio_features(spark, sf):
     world = WorldConfig(tag="drv-aud")
     apdf = audios_pdf(world, 40)
     audio = spark.createDataFrame(apdf)
+    import numpy as np
+
     exp = []
     for r in apdf.itertuples(index=False):
-        import numpy as np
-
         pcm = np.frombuffer(
             r.bytes[: len(r.bytes) // 2 * 2], dtype="<i2"
         ).astype(np.float64) / 32768.0
@@ -1548,14 +1557,17 @@ def q_audio_features(spark, sf):
     )
     return (
         MM.audio_features(audio, n_tasks=8)
-        .join(F.broadcast(oracle), "audio_id", "full")
+        .join(oracle, "audio_id", "full")
         .withColumn(
             "audio_ok",
-            (F.col("n_samples") == F.col("o_n"))
-            & (F.col("duration_ms") == F.col("o_dur"))
-            & (F.abs(F.col("rms") - F.col("o_rms")) < 1e-9)
-            & (F.abs(F.col("peak") - F.col("o_peak")) < 1e-9)
-            & (F.abs(F.col("zcr") - F.col("o_zcr")) < 1e-9),
+            F.coalesce(
+                (F.col("n_samples") == F.col("o_n"))
+                & (F.col("duration_ms") == F.col("o_dur"))
+                & (F.abs(F.col("rms") - F.col("o_rms")) < 1e-9)
+                & (F.abs(F.col("peak") - F.col("o_peak")) < 1e-9)
+                & (F.abs(F.col("zcr") - F.col("o_zcr")) < 1e-9),
+                F.lit(False),
+            ),
         )
         .drop("o_n", "o_dur", "o_rms", "o_peak", "o_zcr")
     )
@@ -1742,8 +1754,11 @@ def q_httpscan_matrix(spark, sf):
     w = Window.partitionBy("url")
     return (
         res.withColumn("n_probes", F.count(F.lit(1)).over(w))
-        .join(F.broadcast(expected), "url", "full")
-        .withColumn("matrix_ok", F.col("n_probes") == F.col("o_probes"))
+        .join(expected, "url", "full")
+        .withColumn(
+            "matrix_ok",
+            F.coalesce(F.col("n_probes") == F.col("o_probes"), F.lit(False)),
+        )
         .drop("n_probes", "o_probes")
     )
 
@@ -1777,9 +1792,8 @@ def q_repetition_filter(spark, sf):
         (n - F.size(F.array_distinct("w"))).alias("dup_w"),
         bi.alias("bi"),
     )
-    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
-    dwf = r6(F.col("dup_w") / F.greatest(F.col("n_words"), F.lit(1)))
-    dbf = r6(
+    dwf = round6(F.col("dup_w") / F.greatest(F.col("n_words"), F.lit(1)))
+    dbf = round6(
         (F.size("bi") - F.size(F.array_distinct("bi")))
         / F.greatest(F.size("bi"), F.lit(1))
     )
@@ -1799,9 +1813,9 @@ f AS (SELECT doc_id, len(w) AS n_words,
         [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)] AS bi
       FROM t),
 g AS (SELECT doc_id, cast(n_words as bigint) AS n_words,
-        floor(dup_w / greatest(n_words, 1) * 1e6 + 0.5) / 1e6 AS dup_word_frac,
-        floor((len(bi) - len(list_distinct(bi))) / greatest(len(bi), 1) * 1e6
-              + 0.5) / 1e6 AS dup_bigram_frac
+        floor((dup_w / greatest(n_words, 1)) * 1000000 + 0.5) / 1000000 AS dup_word_frac,
+        floor(((len(bi) - len(list_distinct(bi))) / greatest(len(bi), 1))
+              * 1000000 + 0.5) / 1000000 AS dup_bigram_frac
       FROM f)
 SELECT doc_id, n_words, dup_word_frac, dup_bigram_frac,
        (dup_word_frac < 0.2 AND dup_bigram_frac < 0.1) AS keep
@@ -1832,10 +1846,7 @@ def q_contamination_overlap(spark, sf):
             F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hits"),
         )
     )
-    frac = F.floor(
-        F.col("n_hits") / F.greatest(F.col("n_shingles"), F.lit(1)) * 1e6
-        + F.lit(0.5)
-    ) / 1e6
+    frac = round6(F.col("n_hits") / F.greatest(F.col("n_shingles"), F.lit(1)))
     return agg.select(
         "doc_id",
         "n_shingles",
@@ -1854,8 +1865,8 @@ agg AS (SELECT ev.doc_id, cast(count(*) as bigint) AS n_shingles,
                as bigint) AS n_hits
         FROM ev LEFT JOIN bench b USING (shingle) GROUP BY ev.doc_id)
 SELECT doc_id, n_shingles, n_hits,
-       floor(n_hits / greatest(n_shingles, 1) * 1e6 + 0.5) / 1e6 AS contam_frac,
-       (floor(n_hits / greatest(n_shingles, 1) * 1e6 + 0.5) / 1e6 >= 0.2)
+       floor((n_hits / greatest(n_shingles, 1)) * 1000000 + 0.5) / 1000000 AS contam_frac,
+       (floor((n_hits / greatest(n_shingles, 1)) * 1000000 + 0.5) / 1000000 >= 0.2)
            AS contaminated
 FROM agg
 """

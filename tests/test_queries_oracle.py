@@ -73,3 +73,51 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"word", "cnt", "first_doc"}
+
+
+def test_round6_is_the_only_rounding_in_oracles(spark):
+    """Cross-engine rounding contract: no oracle SQL may use the
+    divergent round(x, 6) pair (Spark decimal HALF_UP vs DuckDB IEEE
+    round — they disagree on half boundaries), and every floor-form
+    occurrence must be the exact sql_round6 template so a precision
+    edit can't silently desynchronize one copy. Also checks the two
+    helpers agree numerically on boundary values across engines."""
+    import re
+
+    from nightcrawlercmd_spark.functions.numeric import round6, sql_round6
+    from nightcrawlercmd_spark.plans.queries import ORACLES
+
+    template = sql_round6("X")
+    prefix, suffix = template.split("X")  # '(floor((' , ') * 1000000 + 0.5) / 1000000)'
+    for name, sql in ORACLES.items():
+        assert not re.search(r"(?<![\w.])round\s*\(", sql), (
+            f"{name}: raw round() in oracle SQL — use sql_round6"
+        )
+        # every millionths-scaling occurrence must be the exact
+        # template (floor(epoch(..)) etc. are unrelated floor uses and
+        # exempt; `* 1e6` spellings count as drift and match nothing)
+        assert "1e6" not in sql, f"{name}: 1e6 spelling drifts from sql_round6"
+        # (a bare `* 1000000` is also legitimate integer millionths
+        # arithmetic — pmi lift, domain-mix rates — so key on the
+        # scale-plus-half signature unique to the rounding form)
+        n_scale = len(re.findall(r"\* 1000000\s*\+\s*0\.5", sql))
+        n_templ = len(
+            re.findall(r"\)\s*\* 1000000 \+ 0\.5\) / 1000000", sql)
+        )
+        assert n_scale == n_templ, (
+            f"{name}: {n_scale - n_templ} floor-form(s) drift from the "
+            "sql_round6 template"
+        )
+    assert suffix.endswith("/ 1000000)")
+    # numeric agreement on half-boundary and negative values
+    vals = [0.0000005, 0.1234565, -0.0000005, -0.1234565, 1.9999995]
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    got = [r["r"] for r in sdf.select(round6(F.col("x")).alias("r")).collect()]
+    want = [
+        duckdb.connect().execute(f"SELECT {sql_round6(repr(v))}").fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
