@@ -251,6 +251,7 @@ class CrawlEngine:
         self._bloom_bc_stale = True
         self._bc_generations = 0  # observability: broadcasts created so far
         self._sb_mod_cache: int | None = None  # pinned seen_buckets (_sb_mod)
+        self._pb_mod_cache: int | None = None  # pinned pending_buckets (_pb_mod)
 
     # ------------------------------------------------------------ init ----
 
@@ -309,6 +310,10 @@ class CrawlEngine:
                     self.store.read_snapshot(self.spark, "seen", 0),
                     cfg.bloom,
                     m_bits,
+                    # a 10^8-row seed list must not materialize a whole
+                    # pid partition's keys in one pandas task — same
+                    # bound _ensure_bloom and the catch-up path honor
+                    subsplits=cfg.bloom_rebuild_subsplits,
                 ),
                 "seen_filters",
                 0,
@@ -347,8 +352,9 @@ class CrawlEngine:
                 "seen_manifest": {},
                 "seen_folded": {b: -1 for b in range(cfg.seen_buckets)},
                 "seen_bucket_rows": {},
-                # modulus pinned like the bloom geometry (_sb_mod)
+                # moduli pinned like the bloom geometry (_sb_mod/_pb_mod)
                 "seen_buckets": cfg.seen_buckets,
+                "pending_buckets": cfg.pending_buckets,
                 "scope_seed_hosts": cfg.scope_seed_hosts,
                 "bloom_m_bits": m_bits,
                 # geometry pinned with m_bits: a resumed crawl must probe
@@ -361,10 +367,29 @@ class CrawlEngine:
 
     # --------------------------------------------------------- pending ----
 
+    def _pb_mod(self) -> int:
+        """pending_buckets modulus PINNED at round 0, same class as
+        _sb_mod/bloom geometry: a resume with a changed value would
+        hash delta rows into pbuckets the manifest and fold watermarks
+        never heard of — the non-uniform watermark join coalesces
+        __folded=-1 for them and re-adds already-folded rows (duplicate
+        pending, re-fetches), and the next compaction writes a
+        mixed-modulus manifest. Config changes take effect only on a
+        fresh store."""
+        if self._pb_mod_cache is not None:
+            return self._pb_mod_cache
+        try:
+            self._pb_mod_cache = self.store.meta(0).get(
+                "pending_buckets", self.cfg.pending_buckets
+            )
+            return self._pb_mod_cache
+        except FileNotFoundError:
+            return self.cfg.pending_buckets  # pre-init: don't cache yet
+
     def _with_pbucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
             "pbucket",
-            F.pmod(F.col("host_hash"), F.lit(self.cfg.pending_buckets)).cast("int"),
+            F.pmod(F.col("host_hash"), F.lit(self._pb_mod())).cast("int"),
         )
 
     def _manifest(self, round_no: int) -> dict[int, int]:
@@ -389,7 +414,7 @@ class CrawlEngine:
         if f is not None:
             return {int(k): int(v) for k, v in f.items()}
         c = meta.get("pending_compact_round", 0)
-        return {b: c for b in range(self.cfg.pending_buckets)}
+        return {b: c for b in range(self._pb_mod())}
 
     def _assemble_pending(
         self,
@@ -1352,7 +1377,12 @@ class CrawlEngine:
             delta = store.read_snapshot(spark, "seen", r)
             if self._table_probe():
                 store.append(
-                    build_filter_delta_df(delta, self._bloom_cfg(), self._m_bits()),
+                    # subsplits: a high-discovery round's delta is
+                    # bounded only by the frontier, not by politeness
+                    build_filter_delta_df(
+                        delta, self._bloom_cfg(), self._m_bits(),
+                        subsplits=cfg.bloom_rebuild_subsplits,
+                    ),
                     "seen_filters",
                     r,
                 )
@@ -1440,10 +1470,20 @@ class CrawlEngine:
             )
         stats: dict = {"rounds": last, "round_times": []}
         for r in range(last + 1, cfg.max_rounds + 1):
-            fetched_total = store.meta(r - 1)["fetched_total"]
-            if store.meta(r - 1).get("pending") == 0:
+            prev = store.meta(r - 1)
+            fetched_total = prev["fetched_total"]
+            if prev.get("pending") == 0:
                 break
             if cfg.max_pages is not None and fetched_total >= cfg.max_pages:
+                break
+            if r - 1 > 0 and prev.get("fetched_round") == 0:
+                # stalled stop: the prior invocation concluded with an
+                # empty round (pending exists but nothing dequeuable —
+                # e.g. budget-0 hosts). The dequeue is deterministic
+                # under a pinned config, so re-running would only
+                # append another spurious empty committed round per
+                # invocation, breaking exact-resume (O77) and the
+                # simulator's rounds parity.
                 break
             t0 = _time.time()
             out = self._run_round(r, scope_hosts, fetched_total)
@@ -1476,7 +1516,15 @@ class CrawlEngine:
 
         df = self.store.read_appends(self.spark, "pages", self.store.last_round() or 0)
         if df is None:
-            return None
+            # zero pages ever fetched (all seeds robots-blocked / empty
+            # seed list): an EMPTY log, not None — the simulator oracle
+            # returns [] for the same inputs and callers chain
+            # .collect()/.filter() directly
+            return self.spark.createDataFrame(
+                [],
+                "round int, seq int, canon_url string, status_code int, "
+                "host string, depth int",
+            )
         df = df.select(
             # anchored to the file's own partition dir (…/round=K/<file>)
             # so a state_dir path that itself contains "round=" can't
@@ -1582,4 +1630,10 @@ class CrawlEngine:
         return self.spark.createDataFrame(rows, schema=schema)
 
     def pages(self) -> DataFrame:
-        return self.store.read_appends(self.spark, "pages", self.store.last_round() or 0)
+        df = self.store.read_appends(self.spark, "pages", self.store.last_round() or 0)
+        if df is None:
+            # same empty-not-None contract as crawl_log()
+            from ..operators.fetch import PAGE_SCHEMA
+
+            return self.spark.createDataFrame([], PAGE_SCHEMA)
+        return df

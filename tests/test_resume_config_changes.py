@@ -148,3 +148,50 @@ def test_scope_excludes_host_with_only_disallowed_seeds(spark, tmp_path_factory)
     }
     assert got_seen == sim.seen
     assert not any("host02" in u for u in got_seen)  # out of scope on both sides
+
+
+def test_resume_with_changed_pending_buckets(spark, tmp_path_factory):
+    """pending_buckets is pinned at round 0 like seen_buckets/bloom
+    geometry: a resume with a different modulus would hash deltas into
+    pbuckets the manifest and fold watermarks never heard of, re-adding
+    already-folded rows (duplicate pending → re-fetches)."""
+    state = str(tmp_path_factory.mktemp("rcfg_pb"))
+    CrawlEngine(
+        spark,
+        _cfg(state, max_rounds=3, pending_buckets=4, pending_compact_every=2),
+    ).run()
+    eng = CrawlEngine(
+        spark, _cfg(state, pending_buckets=16, pending_compact_every=2)
+    )
+    assert eng._pb_mod() == 4  # pinned, not the new config
+    eng.run()
+    _assert_oracle_parity(eng)
+
+
+def test_stalled_store_rerun_is_noop(spark, tmp_path_factory):
+    """A crawl that concluded via the zero-fetch path (pending exists
+    but nothing dequeuable — every host budget 0) must be terminal:
+    re-running the engine used to append one spurious committed empty
+    round per invocation, breaking exact-resume (O77)."""
+    world = WorldConfig(
+        n_hosts=3, base_pages=6, budget_lo=0, budget_hi=0, tag="t-stall"
+    )
+    state = str(tmp_path_factory.mktemp("stall"))
+    cfg = EngineConfig(
+        state_dir=state, world=world, max_rounds=6, fetch_tasks=4,
+        expected_urls=1 << 10,
+    )
+    eng = CrawlEngine(spark, cfg)
+    first = eng.run()
+    assert first["fetched_total"] == 0
+    last_before = eng.store.last_round()
+    again = CrawlEngine(spark, cfg).run()
+    assert eng.store.last_round() == last_before  # no spurious round
+    assert again["fetched_total"] == 0
+    # zero pages ever fetched: accessors return EMPTY frames, not None
+    log = eng.crawl_log()
+    assert log.count() == 0
+    assert set(log.columns) == {
+        "round", "seq", "canon_url", "status_code", "host", "depth"
+    }
+    assert eng.pages().count() == 0
