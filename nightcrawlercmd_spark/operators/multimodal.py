@@ -33,10 +33,25 @@ def decode_features(images: DataFrame, n_tasks: int = 32) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                img = C.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
-                means = img.reshape(-1, 3).mean(axis=0)
-                re_rt = C.decode(C.encode(img, r.fmt), r.fmt, int(r.w), int(r.h))
-                p = C.psnr(img, re_rt)
+                # corrupt bytes/metadata degrade to a null-feature row
+                # (same per-row contract as sample_frames/audio): the
+                # identity survives, decode_ok-style verdicts flag it,
+                # and one bad upload can't fail the whole task
+                try:
+                    img = C.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    re_rt = C.decode(C.encode(img, r.fmt), r.fmt, int(r.w), int(r.h))
+                    p = C.psnr(img, re_rt)
+                except Exception:
+                    rows.append(
+                        {
+                            "image_id": r.image_id, "w": None, "h": None,
+                            "fmt": r.fmt, "mean_r": None, "mean_g": None,
+                            "mean_b": None, "phash": None,
+                            "phash_rederived": None, "psnr_vs_reencode": None,
+                        }
+                    )
+                    continue
                 rows.append(
                     {
                         "image_id": r.image_id,
@@ -46,7 +61,7 @@ def decode_features(images: DataFrame, n_tasks: int = 32) -> DataFrame:
                         "mean_r": float(means[0]),
                         "mean_g": float(means[1]),
                         "mean_b": float(means[2]),
-                        "phash": int(r.phash),
+                        "phash": int(r.phash) if r.phash is not None else None,
                         "phash_rederived": C.phash64(img),
                         "psnr_vs_reencode": float(min(p, 1e9)),
                     }
@@ -66,7 +81,15 @@ def thumbnails(images: DataFrame, size: int = 16, n_tasks: int = 32) -> DataFram
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                img = C.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                try:
+                    img = C.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                except Exception:
+                    # corrupt upload degrades to a null thumb row —
+                    # never fails the task (sample_frames contract)
+                    rows.append(
+                        {"image_id": r.image_id, "w": None, "h": None, "thumb": None}
+                    )
+                    continue
                 chans = [C._resize_area(img[:, :, c].astype(np.float64), size) for c in range(3)]
                 thumb = np.clip(np.round(np.stack(chans, axis=-1)), 0, 255).astype(np.uint8)
                 rows.append(

@@ -518,37 +518,67 @@ class CrawlEngine:
             {int(k): int(v) for k, v in cu.items()},
         )
 
-    def _pending_delta_counts(self, folded: dict[int, int], upto_round: int) -> dict[int, int]:
-        """Per-bucket count of UNFOLDED delta rows (adds + removals) in
-        (min folded, upto_round] — scans only the delta tables, never
-        the base, so the compaction decision itself is O(delta)."""
+    def _unfolded_deltas(
+        self,
+        tables: tuple[str, ...],
+        cols: list[str] | None,
+        folded: dict[int, int],
+        upto_round: int,
+        bucket_of,
+        wm_key: str,
+        join_type: str = "left",
+    ) -> DataFrame | None:
+        """THE single definition of the fold-window scan: union the
+        delta snapshots of ``tables`` over (min folded, upto_round],
+        tag each row with its round (``__dr``), key it with
+        ``bucket_of`` (adds the ``wm_key`` column), and keep only rows
+        past their bucket's fold watermark. ``join_type='left'``
+        treats unknown buckets as never folded (coalesce -1);
+        ``'inner'`` restricts to the buckets present in ``folded``
+        (the fold-assembly read passes only the fold set). Shared by
+        both compaction-decision scans and the fold assembly so the
+        invariant cannot drift between copies (review r4); _read_seen
+        keeps its own optimized form for the uniform-watermark and
+        bucket-pruned fast paths. Returns None when no delta dirs
+        exist in the window."""
         lo = min(folded.values(), default=upto_round)
         parts = []
-        for j in range(lo + 1, upto_round + 1):
-            for tbl in ("seen", "pages"):
+        for j in range(max(lo + 1, 0), upto_round + 1):
+            for tbl in tables:
                 if self.store.exists(tbl, j):
-                    parts.append(
-                        self.store.read_snapshot(self.spark, tbl, j)
-                        .select("host_hash")
-                        .withColumn("__dr", F.lit(j))
-                    )
+                    d = self.store.read_snapshot(self.spark, tbl, j)
+                    if cols is not None:
+                        d = d.select(*cols)
+                    parts.append(d.withColumn("__dr", F.lit(j)))
         if not parts:
-            return {}
+            return None
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         wm = self.spark.createDataFrame(
             [(int(b), int(v)) for b, v in sorted(folded.items())],
-            "pbucket int, __folded int",
+            f"{wm_key} int, __folded int",
         )
-        rows = (
-            self._with_pbucket(df)
-            .join(F.broadcast(wm), "pbucket", "left")
-            .filter(F.col("__dr") > F.coalesce(F.col("__folded"), F.lit(-1)))
-            .groupBy("pbucket")
-            .count()
-            .collect()
+        df = bucket_of(df)
+        if join_type == "left":
+            return df.join(F.broadcast(wm), wm_key, "left").filter(
+                F.col("__dr") > F.coalesce(F.col("__folded"), F.lit(-1))
+            )
+        return df.join(F.broadcast(wm), wm_key, "inner").filter(
+            F.col("__dr") > F.col("__folded")
         )
+
+    def _pending_delta_counts(self, folded: dict[int, int], upto_round: int) -> dict[int, int]:
+        """Per-bucket count of UNFOLDED delta rows (adds + removals) in
+        (min folded, upto_round] — scans only the delta tables, never
+        the base, so the compaction decision itself is O(delta)."""
+        df = self._unfolded_deltas(
+            ("seen", "pages"), ["host_hash"], folded, upto_round,
+            self._with_pbucket, "pbucket",
+        )
+        if df is None:
+            return {}
+        rows = df.groupBy("pbucket").count().collect()
         return {int(x["pbucket"]): int(x["count"]) for x in rows}
 
     def _read_pending(self, round_no: int) -> DataFrame:
@@ -716,32 +746,14 @@ class CrawlEngine:
         """Per-sbucket count of UNFOLDED seen-delta rows in
         (min folded, upto_round] — scans only delta tables (seen is
         append-only: no removal side)."""
-        lo = min(folded.values(), default=upto_round)
-        parts = []
-        for j in range(max(lo + 1, 0), upto_round + 1):
-            if self.store.exists("seen", j):
-                parts.append(
-                    self.store.read_snapshot(self.spark, "seen", j)
-                    .select("url_hash")
-                    .withColumn("__dr", F.lit(j))
-                )
-        if not parts:
+        df = self._unfolded_deltas(
+            ("seen",), ["url_hash"], folded, upto_round,
+            lambda d: d.withColumn("__sb", self._sbucket(F.col("url_hash"))),
+            "__sb",
+        )
+        if df is None:
             return {}
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        wm = self.spark.createDataFrame(
-            [(int(b), int(v)) for b, v in sorted(folded.items())],
-            "__sb int, __folded int",
-        )
-        rows = (
-            df.withColumn("__sb", self._sbucket(F.col("url_hash")))
-            .join(F.broadcast(wm), "__sb", "left")
-            .filter(F.col("__dr") > F.coalesce(F.col("__folded"), F.lit(-1)))
-            .groupBy("__sb")
-            .count()
-            .collect()
-        )
+        rows = df.groupBy("__sb").count().collect()
         return {int(x["__sb"]): int(x["count"]) for x in rows}
 
     def _maybe_compact_seen(self, r: int) -> dict:
@@ -876,28 +888,13 @@ class CrawlEngine:
         )
         if base is not None:
             parts.append(base.select(*SEEN_COLS))
-        lo = min(fol.values(), default=upto_round)
-        adds = []
-        for j in range(max(lo + 1, 0), upto_round + 1):
-            if self.store.exists("seen", j):
-                adds.append(
-                    self.store.read_snapshot(self.spark, "seen", j).withColumn(
-                        "__dr", F.lit(j)
-                    )
-                )
-        if adds:
-            add = adds[0]
-            for p in adds[1:]:
-                add = add.unionByName(p)
-            wm = self.spark.createDataFrame(
-                [(int(b), int(v)) for b, v in sorted(fol.items())],
-                "__sb int, __folded int",
-            )
-            add = (
-                add.withColumn("__sb", self._sbucket(F.col("url_hash")))
-                .join(F.broadcast(wm), "__sb", "inner")  # inner: only fold_set
-                .filter(F.col("__dr") > F.col("__folded"))
-            )
+        add = self._unfolded_deltas(
+            ("seen",), None, fol, upto_round,
+            lambda d: d.withColumn("__sb", self._sbucket(F.col("url_hash"))),
+            "__sb",
+            join_type="inner",  # inner: only the fold set's buckets
+        )
+        if add is not None:
             parts.append(add.select(*SEEN_COLS))
         df = parts[0]
         for p in parts[1:]:

@@ -43,3 +43,48 @@ def test_decoded_payload_matches_payload_table(spark, tmp_path):
             assert ham <= 10, (r.image_id, ham)
         else:
             assert ham == 0, (r.image_id, ham)
+
+
+def test_corrupt_image_degrades_per_row(spark):
+    """Corrupt bytes/metadata degrade to a null-feature row (same
+    contract as sample_frames/audio_features) — one bad upload used to
+    raise inside the mapInPandas batch and fail the whole task."""
+    import pandas as pd
+
+    from nightcrawlercmd_spark.operators.multimodal import (
+        decode_features,
+        thumbnails,
+    )
+    from nightcrawlercmd_spark.sources.corpus import (
+        WorldConfig,
+        all_page_urls,
+        images_pdf,
+    )
+
+    world = WorldConfig(n_hosts=2, base_pages=4, hot_factor=2, tag="t-corrupt")
+    good = images_pdf(world, all_page_urls(world))
+    bad = pd.DataFrame(
+        [
+            {"image_id": "truncated", "bytes": b"\x01\x02", "w": 16, "h": 16,
+             "fmt": "rgb8", "caption": "x", "phash": 0},
+            {"image_id": "badfmt", "bytes": b"\x00" * 768, "w": 16, "h": 16,
+             "fmt": "nope", "caption": "x", "phash": 0},
+            {"image_id": "nullbytes", "bytes": None, "w": 16, "h": 16,
+             "fmt": "png", "caption": "x", "phash": 0},
+        ]
+    )
+    images = spark.createDataFrame(
+        pd.concat([good, bad], ignore_index=True),
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash bigint",
+    )
+    feats = {r["image_id"]: r for r in decode_features(images, n_tasks=2).collect()}
+    assert set(feats) == set(good["image_id"]) | {"truncated", "badfmt", "nullbytes"}
+    for bad_id in ("truncated", "badfmt", "nullbytes"):
+        assert feats[bad_id]["phash_rederived"] is None
+    for good_id in good["image_id"]:
+        assert feats[good_id]["phash_rederived"] == feats[good_id]["phash"] or \
+            feats[good_id]["psnr_vs_reencode"] >= 40.0
+    thumbs = {r["image_id"]: r for r in thumbnails(images, size=16, n_tasks=2).collect()}
+    assert thumbs["truncated"]["thumb"] is None
+    assert all(len(bytes(thumbs[g]["thumb"])) == 768 for g in good["image_id"])
