@@ -16,19 +16,33 @@ import pandas as pd
 
 # quote handling backreferences the OPENING quote — ["']...["'] would
 # let a value containing the other quote char terminate early
-# (href="/q?x=o'brien" must not truncate at the apostrophe)
-_HREF_RE = re.compile(r"""href\s*=\s*(["'])(.*?)\1""", re.IGNORECASE | re.DOTALL)
-_SRC_RE = re.compile(r"""src\s*=\s*(["'])(.*?)\1""", re.IGNORECASE | re.DOTALL)
+# (href="/q?x=o'brien" must not truncate at the apostrophe); the
+# third alternative accepts legal UNQUOTED values (<a href=/about>,
+# common in the wild and parsed by the reference's goquery) up to
+# whitespace or '>'
+_HREF_RE = re.compile(
+    r"""href\s*=\s*(?:(["'])(.*?)\1|([^\s>"'][^\s>]*))""",
+    re.IGNORECASE | re.DOTALL,
+)
+_SRC_RE = re.compile(
+    r"""src\s*=\s*(?:(["'])(.*?)\1|([^\s>"'][^\s>]*))""",
+    re.IGNORECASE | re.DOTALL,
+)
 # IGNORECASE: <SCRIPT>/<STYLE> blocks must drop as BLOCKS (content and
 # all) — case-sensitive matching would strip only the tags and leak
 # script source into the text
+# the \Z alternates drop an UNCLOSED script/style block to EOF —
+# without them a page truncated mid-script leaks raw JS source into
+# the text column (and from there into generated wordlists)
 _TAG_RE = re.compile(
-    r"<script.*?</script>|<style.*?</style>|<[^>]+>",
+    r"<script\b.*?(?:</script\s*>|\Z)|<style\b.*?(?:</style\s*>|\Z)|<[^>]+>",
     re.DOTALL | re.IGNORECASE,
 )
 _WS_RE = re.compile(r"\s+")
 _FORM_RE = re.compile(r"<form\b([^>]*)>(.*?)</form>", re.IGNORECASE | re.DOTALL)
-_ATTR_RE = re.compile(r"""(\w+)\s*=\s*(["'])(.*?)\2""", re.DOTALL)
+_ATTR_RE = re.compile(
+    r"""(\w+)\s*=\s*(?:(["'])(.*?)\2|([^\s>"']+))""", re.DOTALL
+)
 _INPUT_RE = re.compile(r"<input\b([^>]*)>", re.IGNORECASE)
 
 
@@ -43,11 +57,17 @@ def _as_text(body) -> str:
 def extract_hrefs(body) -> list[str]:
     """All href attribute values, document order, duplicates preserved
     (dedupe is a separate relational step — array_distinct / anti-join)."""
-    return [m.group(2) for m in _HREF_RE.finditer(_as_text(body))]
+    return [
+        m.group(2) if m.group(2) is not None else m.group(3)
+        for m in _HREF_RE.finditer(_as_text(body))
+    ]
 
 
 def extract_srcs(body) -> list[str]:
-    return [m.group(2) for m in _SRC_RE.finditer(_as_text(body))]
+    return [
+        m.group(2) if m.group(2) is not None else m.group(3)
+        for m in _SRC_RE.finditer(_as_text(body))
+    ]
 
 
 def extract_forms(body) -> list[dict]:
@@ -57,7 +77,10 @@ def extract_forms(body) -> list[dict]:
     def _attrs(fragment: str) -> dict:
         # attribute NAMES are case-insensitive in HTML (goquery/x/net
         # parse them lowercased); values keep their case
-        return {a.group(1).lower(): a.group(3) for a in _ATTR_RE.finditer(fragment)}
+        return {
+            a.group(1).lower(): (a.group(3) if a.group(3) is not None else a.group(4))
+            for a in _ATTR_RE.finditer(fragment)
+        }
 
     for m in _FORM_RE.finditer(_as_text(body)):
         attrs = _attrs(m.group(1))

@@ -40,8 +40,11 @@ _ALLOWED_PREFIXES = ("data-", "aria-")
 # must not scan as a tag. The spans are blanked with spaces, newlines
 # kept, so every surviving match's line number is unchanged; the
 # opening <script …>/<style …> tags themselves are still validated.
+# the \Z alternate masks an UNCLOSED block to EOF — a page truncated
+# mid-script otherwise leaks its JS ('if (a < b && c > d)') into the
+# tag scanner, which reads '< b && c >' as a bogus unknown-tag finding
 _RAWTEXT_RE = re.compile(
-    r"(<(script|style)\b[^>]*>)(.*?)(</\2\s*>)", re.IGNORECASE | re.DOTALL
+    r"(<(script|style)\b[^>]*>)(.*?)(</\2\s*>|\Z)", re.IGNORECASE | re.DOTALL
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 
@@ -103,10 +106,17 @@ def validate_html(
     raw = _mask_nonmarkup(raw)
     findings: list[dict] = []
     seen: set[tuple] = set()
+    # running newline counter: finditer yields matches in document
+    # order, so counting from the previous match keeps the whole scan
+    # O(doc_len) — the from-zero count was O(doc_len × tag_count),
+    # seconds per large page inside the fused report UDF
+    line = 1
+    last_pos = 0
     for m in _TAG_RE.finditer(raw):
         closing = m.group(1) == "/"
         tag = m.group(2).lower()
-        line = raw.count("\n", 0, m.start()) + 1
+        line += raw.count("\n", last_pos, m.start())
+        last_pos = m.start()
         if tag not in tags:
             # closing forms are validated too: an unknown tag appearing
             # only as </bogus> is still a finding (a tokenizer-level

@@ -50,8 +50,9 @@ def _norm_pct(s: str) -> str:
 
 
 def _remove_dot_segments(path: str) -> str:
+    segs = path.split("/")
     out: list[str] = []
-    for seg in path.split("/"):
+    for seg in segs:
         if seg == ".":
             continue
         if seg == "..":
@@ -61,6 +62,12 @@ def _remove_dot_segments(path: str) -> str:
                     out = [""]
         else:
             out.append(seg)
+    # RFC 3986 §5.2.4: a path ENDING in "." or ".." resolves to the
+    # directory — with a trailing slash ("/a/b/.." → "/a/", like Go's
+    # net/url). Dropping it pointed the crawler at "/a", a different
+    # resource, and split one identity into two url_hash seen-keys.
+    if segs and segs[-1] in (".", "..") and (not out or out[-1] != ""):
+        out.append("")
     norm = "/".join(out)
     if not norm.startswith("/"):
         norm = "/" + norm
@@ -94,6 +101,17 @@ def canonicalize(url: str) -> str | None:
     netloc = f"[{host}]" if ":" in host else host
     if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
         netloc = f"{netloc}:{port}"
+    # userinfo is part of the resource identity (RFC 3986 §3.2.1; Go's
+    # net/url preserves it) — dropping it both broke auth-protected
+    # fetches and collided http://alice@h and http://bob@h into one
+    # url_hash seen-key. Percent-triplet-normalized like every other
+    # component; raw '@' inside userinfo must itself be encoded, so
+    # host_of's last-'@' split stays unambiguous.
+    if parts.username is not None:
+        userinfo = _norm_pct(parts.username)
+        if parts.password is not None:
+            userinfo += ":" + _norm_pct(parts.password)
+        netloc = f"{userinfo}@{netloc}"
     # path: normalize percent-encoding in place, resolve dot segments
     path = _remove_dot_segments(_norm_pct(parts.path) or "/")
     # query: sort raw `k=v` pairs after percent-triplet normalization
@@ -123,12 +141,13 @@ def host_of(canon_url: str) -> str:
     """Host component of an already-canonical URL (cheap split)."""
     rest = canon_url.split("://", 1)[1]
     authority = rest.split("/", 1)[0]
+    # strip userinfo (canonical form keeps it; '@' in userinfo is
+    # always percent-encoded, so the LAST '@' is the delimiter)
+    authority = authority.rsplit("@", 1)[-1]
     if authority.startswith("["):  # IPv6 literal: [::1] or [::1]:8080
         return authority[1 : authority.index("]")]
     return authority.rsplit(":", 1)[0] if ":" in authority else authority
 
-
-_WORD_RE = re.compile(r"[a-zA-Z][a-z]{3,}")
 
 
 # ---- vectorized (pandas) forms, used inside Spark UDFs --------------------

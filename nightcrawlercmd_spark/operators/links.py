@@ -49,9 +49,13 @@ def _after_scheme(canon: Column) -> Column:
 
 def host_of_col(canon: Column) -> Column:
     """Host of a *canonical* URL via string ops (codegen, no parse_url).
-    IPv6 literals ([::1]:8080) unwrap to the bracket contents, matching
-    the Python ``urlnorm.host_of`` twin."""
-    auth = F.substring_index(_after_scheme(canon), "/", 1)
+    IPv6 literals ([::1]:8080) unwrap to the bracket contents, and
+    userinfo is stripped on the LAST '@' ('@' inside userinfo is always
+    percent-encoded in canonical form), matching the Python
+    ``urlnorm.host_of`` twin."""
+    auth = F.substring_index(
+        F.substring_index(_after_scheme(canon), "/", 1), "@", -1
+    )
     return F.when(
         F.startswith(auth, F.lit("[")),
         F.regexp_extract(auth, r"^\[([^\]]+)\]", 1),

@@ -30,11 +30,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.html import extract_forms, extract_hrefs, html_to_text
+from ..operators.textops import WORD_RE
 
 # reference caps: 100 urls, 100 IPs, 2000 words per page (mainReport.go:113-134)
 CAP_URLS, CAP_IPS, CAP_WORDS = 100, 100, 2000
 
-_WORD_RE = re.compile(r"[a-zA-Z][a-z]{3,}")
+# the load-bearing word regex lives in textops.WORD_RE (reference
+# mainWordlist.go:17) — one definition for the wordlist subcommand,
+# the report suite, and the DuckDB query twins
+_WORD_RE = re.compile(WORD_RE)
 _URL_RE = re.compile(r"https?://[^\s\"'<>]+")
 _IP_RE = re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")
 
@@ -98,6 +102,32 @@ def page_features_udf(ruleset_path: str | None = None):
         return pd.DataFrame(rows)
 
     return F.pandas_udf(fn, FEATURES_SCHEMA)
+
+
+def page_text_udf():
+    """Lean text-only twin of ``page_features_udf`` for consumers that
+    need nothing but the text column (the wordlist subcommand). Same
+    MIME gate as the fused UDF: html → html_to_text, other text/* →
+    replacement-decoded raw, binary → "" — but skips validation,
+    forms, hrefs and the URL/IP regexes entirely."""
+
+    def fn(body: pd.Series, ctype: pd.Series) -> pd.Series:
+        out = []
+        for b, ct in zip(body, ctype):
+            ct_l = (ct or "").lower()
+            if ct_l.startswith("text/html"):
+                out.append(html_to_text(b))
+            elif ct_l.startswith("text/"):
+                out.append(
+                    bytes(b).decode("utf-8", errors="replace")
+                    if b is not None
+                    else ""
+                )
+            else:
+                out.append("")
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "string")
 
 
 def page_reports(pages: DataFrame, ruleset_path: str | None = None) -> DataFrame:
@@ -212,6 +242,12 @@ def run_report_suite(pages: DataFrame, out_dir: str | None = None) -> dict[str, 
                 .option("header", True)
                 .csv(f"{out_dir}/{name}")
             )
+        # writes materialized everything — release the cache instead of
+        # leaking one cached feature table per suite run
+        reports.unpersist()
+    # without out_dir the returned DataFrames still hang off the cache:
+    # the caller owns the lifetime (unpersist via out["querykeys"]'s
+    # lineage or a fresh page_reports)
     return out
 
 
@@ -235,9 +271,18 @@ def wordlist_pipeline(
     survives only as its own ""-join variant."""
     from ..operators.textops import extract_tokens, username_mutations
 
-    reports = page_reports(pages)
+    if not extractors:
+        raise ValueError("extractors must name at least one mode")
+    # text-only scan: the wordlist subcommand consumes ONLY the text
+    # column, and Catalyst cannot prune inside a struct-returning
+    # pandas UDF — going through page_reports would execute HTML
+    # validation, form and href extraction per page just to throw the
+    # results away (review r4)
+    texts = pages.select(
+        page_text_udf()(F.col("body"), F.col("content_type")).alias("text")
+    )
     parts = [
-        reports.select(F.explode(extract_tokens(F.col("text"), ex)).alias("token"))
+        texts.select(F.explode(extract_tokens(F.col("text"), ex)).alias("token"))
         for ex in extractors
     ]
     out = parts[0]
