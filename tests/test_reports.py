@@ -254,6 +254,48 @@ def test_extract_tokens_modes(spark):
     assert [r["x"] for r in toks("none")] == [text]  # newline split
 
 
+def test_unquoted_attribute_values():
+    """Legal unquoted href/src/attr values (<a href=/about>) extract
+    like quoted ones (goquery parses both); the quoted form still
+    survives an embedded other-quote char."""
+    from nightcrawlercmd_spark.functions.html import extract_srcs
+
+    body = (
+        b'<a href=/about>x</a> <a href="/q?x=o\'brien">y</a>'
+        b"<img src=logo.png> <form action=/post method=POST>"
+        b'<input name=u type=text></form>'
+    )
+    assert extract_hrefs(body) == ["/about", "/q?x=o'brien"]
+    assert extract_srcs(body) == ["logo.png"]
+    forms = extract_forms(body)
+    assert forms[0]["action"] == "/post" and forms[0]["method"] == "POST"
+    assert forms[0]["inputs"] == ["u"]
+
+
+def test_unclosed_rawtext_blocks_masked():
+    """A page truncated mid-<script>/<style> must not leak its raw
+    source into the text column or produce bogus unknown-tag findings
+    ('if (a < b && c > d)' scans as '< b && c >')."""
+    from nightcrawlercmd_spark.functions.htmlcheck import validate_html
+
+    truncated = b"<html><p>hello world</p><script>var secret = 1; if (a < b"
+    assert "secret" not in html_to_text(truncated)
+    assert "hello world" in html_to_text(truncated)
+    assert validate_html(
+        "<html>\n<body>\n<script>\nif (a < b && c > d) {}\n"
+    ) == []
+    # line numbers stay correct for findings AFTER a closed block
+    got = validate_html("<html>\n<script>\nx\n</script>\n<marquee>old\n")
+    assert got == [
+        {"line": 5, "tag": "marquee", "attr": "", "reason": "unknown-tag"}
+    ]
+
+
+def test_wordlist_pipeline_requires_extractors(pages):
+    with pytest.raises(ValueError):
+        wordlist_pipeline(pages, ())
+
+
 def test_validate_html_closing_tags():
     """An unknown tag appearing only in closing form (</bogus>) is a
     finding too — the reference's tokenizer-level validator sees EndTag

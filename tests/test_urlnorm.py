@@ -37,6 +37,15 @@ GOLDEN = [
     # IPv6 literal host keeps brackets (ADVICE r1)
     ("http://[::1]:8080/p", "http://[::1]:8080/p"),
     ("HTTP://[2001:DB8::1]/x", "http://[2001:db8::1]/x"),
+    # trailing "." / ".." resolve to the DIRECTORY (RFC 3986 §5.2.4,
+    # like Go's net/url): keep the trailing slash
+    ("http://h.test/a/b/..", "http://h.test/a/"),
+    ("http://h.test/a/.", "http://h.test/a/"),
+    ("http://h.test/..", "http://h.test/"),
+    # userinfo is identity (RFC 3986 §3.2.1) — preserved, host still
+    # lowercased, default port still dropped
+    ("http://alice@H.test:80/p", "http://alice@h.test/p"),
+    ("http://alice:pw@h.test:8080/p", "http://alice:pw@h.test:8080/p"),
 ]
 
 
@@ -66,6 +75,24 @@ def test_host_of():
     assert host_of("http://h.test:8080/p") == "h.test"
     assert host_of("http://[::1]:8080/p") == "::1"
     assert host_of("http://[2001:db8::1]/x") == "2001:db8::1"
+    # userinfo stripped on the LAST '@' (raw '@' in userinfo is always
+    # percent-encoded in canonical form)
+    assert host_of("http://alice@h.test/p") == "h.test"
+    assert host_of("http://alice:pw@h.test:8080/p") == "h.test"
+    assert host_of("http://alice@[::1]:8080/p") == "::1"
+
+
+def test_userinfo_distinct_identities():
+    """alice@h, bob@h and bare h are three different resources — they
+    must not collapse into one url_hash seen-key."""
+    forms = {
+        canonicalize("http://alice@h.test/p"),
+        canonicalize("http://bob@h.test/p"),
+        canonicalize("http://h.test/p"),
+    }
+    assert len(forms) == 3
+    # but they are the same HOST for scope/robots/politeness purposes
+    assert {host_of(u) for u in forms} == {"h.test"}
 
 
 def test_reserved_query_encodings_stay_distinct():
@@ -91,6 +118,9 @@ def test_host_path_cols_match_python_twins(spark):
         "http://host01.w1.test:8080/a/b?q=1",
         "http://[::1]:8080/p?u=https://e.test/y",
         "http://host02.w1.test/plain",
+        "http://alice@host03.w1.test/p",
+        "http://alice:pw@host03.w1.test:8080/p?u=http://bob@e.test/z",
+        "http://alice@[::1]:8080/p",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "canon_url string")
     rows = df.select(
