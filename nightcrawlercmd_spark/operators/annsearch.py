@@ -59,12 +59,26 @@ def hyperplane_signature(emb: DataFrame, planes: list[list[float]]) -> DataFrame
             "hyperplane_signature: need at least one plane (0 planes = "
             "one bucket = brute force; call brute_force_topk instead)"
         )
+    if len(planes) > 63:
+        # bucket is a signed 64-bit column and lsh_topk's Python-side
+        # probe signature must match it bit-for-bit; 64+ planes would
+        # overflow the column while the Python int keeps growing, so
+        # every probe would silently miss its bucket
+        raise ValueError(
+            f"hyperplane_signature: at most 63 planes (got {len(planes)}); "
+            "a 63-bit signature already over-partitions any corpus"
+        )
     e = F.col("embedding").cast("array<double>")
     sig = None
     for i, p in enumerate(planes):
-        bit = F.when(_dot(e, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        # bigint literals: 1 << 31 already exceeds int32, and the
+        # summed signature must stay exact for the bucket equality
+        bit = F.when(
+            _dot(e, F.array(*[F.lit(float(x)) for x in p])) >= 0,
+            F.lit(1 << i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
         sig = bit if sig is None else sig + bit
-    return emb.withColumn("bucket", sig.cast("int"))
+    return emb.withColumn("bucket", sig.cast("bigint"))
 
 
 def lsh_topk(

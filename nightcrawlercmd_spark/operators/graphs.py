@@ -30,6 +30,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint(eager=True)`` + the ids of the RDD blocks it
+    persisted. ``DataFrame.unpersist()`` is a NO-OP on checkpointed
+    data — it only consults the CacheManager, which never registered
+    the checkpoint RDD — so freeing a superseded sweep requires
+    unpersisting the underlying RDD by id. The ids are recovered as
+    the diff of ``getPersistentRDDs`` around the (synchronous, eager)
+    checkpoint; the loop is driver-sequential so nothing else persists
+    in between."""
+    sc = df.sparkSession.sparkContext
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    after = sc._jsc.getPersistentRDDs()
+    new_ids = {int(i) for i in after.keySet().toArray()} - before
+    return out, new_ids
+
+
+def _unpersist_ids(df: DataFrame, ids: set[int]) -> None:
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        if int(rid) in ids:
+            jmap.get(rid).unpersist(False)
+
+
 def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 60
 ) -> DataFrame:
@@ -51,25 +75,21 @@ def connected_components(
     # checkpoint the symmetrized edge list once: every sweep joins
     # against it, and without this the upstream pipeline (e.g. the
     # full MinHash-LSH pair derivation) would re-execute per sweep
-    sym = e.union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    sym, sym_ids = _checkpoint_tracked(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    labels, labels_ids = _checkpoint_tracked(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     changed = 1
     for _ in range(max_iter):
         msgs = sym.alias("e").join(
             labels.alias("l"), F.col("e.a") == F.col("l.node")
         ).select(F.col("e.b").alias("node"), F.col("l.label").alias("label"))
-        new = (
-            labels.union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+        new, new_ids = _checkpoint_tracked(
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
         )
         changed = (
             new.alias("n")
@@ -80,12 +100,14 @@ def connected_components(
         )
         # the old sweep's checkpoint blocks are dead once the changed
         # check has consumed them — without this, ~diameter copies of
-        # the labels table pile up in block-manager storage
-        labels.unpersist()
-        labels = new
+        # the labels table pile up in block-manager storage (freed by
+        # RDD id: DataFrame.unpersist() cannot see checkpoint blocks)
+        _unpersist_ids(labels, labels_ids)
+        labels, labels_ids = new, new_ids
         if changed == 0:
             break
-    sym.unpersist()  # the returned labels no longer reference the edges
+    # the returned labels no longer reference the edges
+    _unpersist_ids(sym, sym_ids)
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "

@@ -71,7 +71,15 @@ def asof_join(
     # rows are dropped (they could match nothing); null-key left rows
     # share the nulls window partition, which then contains no right
     # rows, so their payload is null — same as the SQL formulation.
-    r = right.filter(F.col(on).isNotNull()).select(
+    # Null-TS right rows are dropped for the same reason: NULL <= t /
+    # NULL >= t never holds in the SQL formulation, but nulls-first
+    # ordering would put such a row inside every left frame with no
+    # real match. Null-ts LEFT rows must yield null payload; the
+    # direction-matched null ordering below guarantees their frame
+    # contains no right rows (nulls sort before all rights in the
+    # backward frame's past, after all rights in the forward frame's
+    # future).
+    r = right.filter(F.col(on).isNotNull() & F.col(ts).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(ts).alias("_t"),
         F.lit(0 if back else 1).alias("_side"),
@@ -90,7 +98,8 @@ def asof_join(
         F.lit(None).cast(pay_type).alias("_p"),
         F.struct(*left.columns).alias("_l"),
     )
-    w = Window.partitionBy("_k").orderBy("_t", "_side", "_tb")
+    ts_order = F.col("_t").asc_nulls_first() if back else F.col("_t").asc_nulls_last()
+    w = Window.partitionBy("_k").orderBy(ts_order, "_side", "_tb")
     if back:
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         pick = F.last("_p", ignorenulls=True)
@@ -135,23 +144,35 @@ def range_join_trailing(
     # unix_timestamp floors to whole seconds; floor(floor(e)/bin) ==
     # floor(e/bin) for integer bin sizes, so binning fidelity is kept
     # (the exact range predicate below still compares raw timestamps).
-    l_epoch = F.unix_timestamp(F.col(left_ts))
-    r_epoch = F.unix_timestamp(F.col(right_ts))
-    lb = left.withColumn("_bin0", F.floor(l_epoch / bin_s)).withColumn(
-        "_bin", F.explode(F.sequence(F.col("_bin0") - n_bins + 1, F.col("_bin0")))
+    # prune the probe side to the three columns the candidate join
+    # needs: the explode duplicates every probe column n_bins times
+    # through the equi-join shuffle and the groupBy, and all left
+    # payload re-attaches by left_id at the end anyway — a wide left
+    # table would otherwise ship its full width n_bins times for
+    # nothing (review r4)
+    lb = (
+        left.select(
+            F.col(on).alias("_lk"),
+            F.col(left_ts).alias("_lts"),
+            F.col(left_id),
+        )
+        .withColumn("_bin0", F.floor(F.unix_timestamp(F.col("_lts")) / bin_s))
+        .withColumn(
+            "_bin", F.explode(F.sequence(F.col("_bin0") - n_bins + 1, F.col("_bin0")))
+        )
     )
     rb = right.select(
         F.col(on).alias("_rk"),
-        F.floor(r_epoch / bin_s).alias("_bin"),
+        F.floor(F.unix_timestamp(F.col(right_ts)) / bin_s).alias("_bin"),
         F.col(right_ts).alias("_rts"),
         *[c for c in right.columns if c not in (on, right_ts)],
     )
     cand = lb.join(
         rb,
-        (F.col(on) == F.col("_rk"))
+        (F.col("_lk") == F.col("_rk"))
         & (lb["_bin"] == rb["_bin"])
-        & (F.col("_rts") > F.col(left_ts) - F.expr(f"INTERVAL {window_s} SECOND"))
-        & (F.col("_rts") <= F.col(left_ts)),
+        & (F.col("_rts") > F.col("_lts") - F.expr(f"INTERVAL {window_s} SECOND"))
+        & (F.col("_rts") <= F.col("_lts")),
     )
     per_left = cand.groupBy(F.col(left_id).alias("_lid")).agg(*aggs)
     return left.join(per_left, left[left_id] == per_left["_lid"], "left").drop("_lid")

@@ -40,11 +40,16 @@ def write_training_shards(
 ) -> None:
     """Write ``df`` as ``path/shard=K/*.parquet`` for K in 0..n_shards-1,
     sharded by a deterministic hash of ``key_col``."""
-    sharded = df.withColumn(
-        "shard", F.pmod(md5i(F.col(key_col).cast("string")), F.lit(n_shards))
+    # hash once: Catalyst does not CSE the md5+conv expression across
+    # the shard projection and the sort key, so a repeated md5i() would
+    # hash every row twice
+    sharded = df.withColumn("_h", md5i(F.col(key_col).cast("string"))).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards))
     )
-    out = sharded.repartition(n_shards, "shard").sortWithinPartitions(
-        "shard", md5i(F.col(key_col).cast("string")), key_col
+    out = (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_h", key_col)
+        .drop("_h")  # projection after the sort keeps intra-partition order
     )
     w = out.write.mode("overwrite").partitionBy("shard")
     if max_records_per_file:

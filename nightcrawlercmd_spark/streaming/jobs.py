@@ -42,12 +42,17 @@ def _monitor_fn(
         pages, errors, ema, nb = state.get
     else:
         pages, errors, ema, nb = 0, 0, None, 0
-    for pdf in batches:
+    # EMA is order-sensitive; shuffle delivery order is not
+    # deterministic, so fold in a pinned order (canon_url) — the same
+    # pages always produce the same ema_resp_ms. The sort must happen
+    # over the WHOLE micro-batch: groups larger than one Arrow chunk
+    # arrive as several pdfs in nondeterministic order, so sorting each
+    # chunk independently would still leak arrival order into the fold.
+    chunks = [c for c in batches if len(c)]
+    pdf = pd.concat(chunks, ignore_index=True) if chunks else None
+    if pdf is not None:
         pages += len(pdf)
         errors += int(pdf["error"].notna().sum())
-        # EMA is order-sensitive; shuffle delivery order is not
-        # deterministic, so fold in a pinned order (canon_url) — the
-        # same pages always produce the same ema_resp_ms
         pdf = pdf.sort_values("canon_url")
         for v in pdf["resp_ms"]:
             ema = float(v) if ema is None else (1 - _EMA_ALPHA) * ema + _EMA_ALPHA * float(v)
@@ -115,7 +120,15 @@ def events_windowed_counts_stream(
     spark: SparkSession, sf_dir: str, checkpoint: str, query_name: str = "ev_win"
 ):
     """10-minute tumbling windows over events.ts with a 5-minute
-    watermark, per event_type; availableNow drains the parquet once."""
+    watermark, per event_type; availableNow drains the parquet once.
+
+    Append-mode contract: a window is emitted only once the final
+    watermark (max event ts − 5 min) passes its END. Windows still open
+    when the source drains stay in state and are NOT emitted — so
+    equality with ``events_windowed_counts_batch`` holds only for the
+    watermark-closed prefix. Compare on windows whose end ≤ final
+    watermark (the driver's events table satisfies this for all but at
+    most the trailing window)."""
     src = _events_stream_src(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "5 minutes")

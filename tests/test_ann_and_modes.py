@@ -31,6 +31,33 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert n_cands == n_all  # sanity: signature covers everything
 
 
+def test_lsh_signature_wide_planes_no_overflow(spark):
+    """≥32 planes must keep the column signature bit-exact with the
+    Python-side probe signature (an int32 signature wraps at bit 31 —
+    ANSI mode throws, non-ANSI silently probes nothing); >63 planes
+    must refuse."""
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    rows = emb.collect()
+    dim = len(rows[0]["embedding"])
+    planes = ANN.deterministic_planes(dim, n_planes=36)
+    sigs = {
+        r["vec_id"]: r["bucket"]
+        for r in ANN.hyperplane_signature(emb, planes).collect()
+    }
+    for r in rows:
+        want = 0
+        vec = [float(x) for x in r["embedding"]]
+        for i, p in enumerate(planes):
+            if sum(a * b for a, b in zip(vec, p)) >= 0:
+                want |= 1 << i
+        assert sigs[r["vec_id"]] == want, r["vec_id"]
+    assert any(s >= (1 << 31) for s in sigs.values())  # the overflow regime
+    with pytest.raises(ValueError):
+        ANN.hyperplane_signature(emb, ANN.deterministic_planes(dim, n_planes=64))
+
+
 def test_thumbnails_shape_and_determinism(spark):
     world = WorldConfig(n_hosts=2, base_pages=4, tag="t-thumb")
     pdf = images_pdf(world, all_page_urls(world))

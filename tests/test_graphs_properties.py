@@ -60,6 +60,25 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+def test_connected_components_frees_checkpoint_blocks(spark):
+    """Superseded per-sweep localCheckpoint blocks must actually leave
+    block-manager storage. DataFrame.unpersist() is a NO-OP on
+    checkpointed data (it only consults the CacheManager), so the
+    implementation frees the underlying RDDs by id — a long-diameter
+    graph would otherwise accumulate ~diameter label-table copies."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = {int(i) for i in jmap.keySet().toArray()}
+    # a 12-node chain: diameter 11 → many sweeps, many checkpoints
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
+    labels = connected_components(df)
+    assert labels.count() == 13
+    after = {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+    # only the RETURNED labels' checkpoint may remain (caller owns it);
+    # the edge list and every superseded sweep must be gone
+    assert len(after - before) <= 1, after - before
+
+
 def test_dedup_clusters_sizes_consistent(spark):
     edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
     df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")

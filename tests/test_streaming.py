@@ -106,6 +106,40 @@ def test_crawl_monitor_stateful_across_batches(spark, tmp_path):
     assert any(r["batches"] > 1 for r in rows)
 
 
+def test_monitor_ema_chunk_order_invariant():
+    """A group larger than one Arrow chunk arrives as several pdfs in
+    nondeterministic order — the EMA fold must sort the WHOLE
+    micro-batch by canon_url, not each chunk independently, so any
+    chunking/arrival order yields the same ema_resp_ms."""
+    import pandas as pd
+
+    from nightcrawlercmd_spark.streaming.jobs import _monitor_fn
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.val = v
+
+    rows = pd.DataFrame(
+        {
+            "canon_url": [f"http://h.test/{i:03d}" for i in range(10)],
+            "resp_ms": [5.0, 40.0, 2.0, 90.0, 7.0, 1.0, 33.0, 8.0, 60.0, 4.0],
+            "error": [None] * 10,
+        }
+    )
+
+    def run(chunks):
+        st = FakeState()
+        out = list(_monitor_fn(("h.test",), iter(chunks), st))[0]
+        return float(out["ema_resp_ms"].iloc[0])
+
+    whole = run([rows])
+    split = run([rows.iloc[7:], rows.iloc[2:7], rows.iloc[:2]])
+    assert whole == split
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a redelivered event inside the
     watermark window is emitted exactly once; state is bounded by the

@@ -98,6 +98,35 @@ def test_range_join_trailing_matches_bruteforce(spark, tsdata, bin_s):
         )
 
 
+def test_asof_join_null_timestamps(spark):
+    """NULL-ts rows follow the SQL formulation: a null-ts right row
+    never matches anything (NULL <= t is never true), and a null-ts
+    left row gets a null payload — in BOTH directions. Nulls-first
+    window ordering without the right-side filter would hand the
+    null-ts right row's payload to unmatched left rows."""
+    left = spark.createDataFrame(
+        [(1, 0, BASE), (2, 0, None)], "event_id bigint, user_id bigint, ts timestamp"
+    )
+    # right rows: one null-ts (must never match), one real at BASE+1h
+    right = spark.createDataFrame(
+        [(10, 0, None), (11, 0, BASE + dt.timedelta(hours=1))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    for direction, want in (
+        # backward: left@BASE has no right ≤ BASE (null never counts)
+        ("backward", {1: None, 2: None}),
+        # forward: left@BASE matches the real row at BASE+1h only
+        ("forward", {1: 11, 2: None}),
+    ):
+        out = TS.asof_join(
+            left, right, on="user_id", ts="ts",
+            payload={"matched": "event_id"},
+            right_tiebreak="event_id", direction=direction,
+        )
+        got = {r["event_id"]: r["matched"] for r in out.collect()}
+        assert got == want, direction
+
+
 def test_asof_join_forward_matches_bruteforce(spark, tsdata):
     pdf = tsdata
     left = spark.createDataFrame(pdf[pdf.kind == "L"].drop(columns=["kind"]))
