@@ -140,6 +140,18 @@ class HttpFetcher:
         return blob, int(w), int(h), fmt
 
 
+def _decode_phash(blob, w, h, fmt) -> int | None:
+    """Decode a fetched payload and phash it, or None on ANY failure —
+    a real endpoint can hand back a corrupt payload (truncated blob,
+    bad stream, unknown fmt), and that must degrade THIS row to null
+    img columns like multimodal.py does, never fail the task/round
+    (review r4)."""
+    try:
+        return int(C.phash64(C.decode(blob, fmt, w, h)))
+    except Exception:
+        return None
+
+
 def fetch_stage(
     dequeued: DataFrame,
     world: WorldConfig,
@@ -195,13 +207,15 @@ def fetch_stage(
                     else:
                         img, w, h, fmt = gen_image(world, r["image_id"])
                         got_img = (C.encode(img, fmt), w, h, fmt)
-                if got_img is not None:
+                phash = (
+                    _decode_phash(*got_img) if got_img is not None else None
+                )
+                if phash is not None:
                     blob, w, h, fmt = got_img
-                    decoded = C.decode(blob, fmt, w, h)
                     img_cols["img_w"].append(w)
                     img_cols["img_h"].append(h)
                     img_cols["img_fmt"].append(fmt)
-                    img_cols["img_phash"].append(C.phash64(decoded))
+                    img_cols["img_phash"].append(phash)
                 else:
                     for k in img_cols:
                         img_cols[k].append(None)
@@ -215,9 +229,17 @@ def fetch_stage(
                         if 300 <= (r["status_code"] or 0) <= 307 and r["location"]
                         else []
                     )
-                elif r["status_code"] == 200:
+                elif r["status_code"] == 200 and (
+                    (r["content_type"] or "").lower().startswith("text/html")
+                ):
                     # follow/dont-follow on the RAW href, pre-resolution
-                    # (reference mainCrawler.go:175-196, O20/O40)
+                    # (reference mainCrawler.go:175-196, O20/O40).
+                    # Gated to text/html: in load_resources crawls the
+                    # fetched binary image payloads are 200s too, and
+                    # regex-scanning replacement-decoded binary for
+                    # hrefs is wasted hot-path CPU (goquery on binary
+                    # finds no anchors either); simulator.py gates
+                    # identically
                     hrefs = filter_hrefs(
                         extract_hrefs(r["body"]), follow, dont_follow, strict_filters
                     )

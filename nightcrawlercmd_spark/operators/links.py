@@ -21,23 +21,8 @@ north_rule additions (robots compliance, canonical dedupe key):
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from ..sources.corpus import priority_of
-
-
-def priority_udf():
-    def fn(canon_url: pd.Series, depth: pd.Series) -> pd.Series:
-        return pd.Series(
-            [priority_of(c, int(d)) for c, d in zip(canon_url, depth)],
-            index=canon_url.index,
-            dtype="float64",
-        )
-
-    return F.pandas_udf(fn, "double")
-
 
 def _after_scheme(canon: Column) -> Column:
     """Everything after the FIRST '://' — mirrors the Python twin's
@@ -63,10 +48,17 @@ def host_of_col(canon: Column) -> Column:
 
 
 def path_of_col(canon: Column) -> Column:
-    """Path (sans query) of a canonical URL; always starts with '/'
-    (the canonicalizer guarantees a non-empty path)."""
+    """Path (sans query) of a URL. Canonical URLs always carry a '/'
+    (the canonicalizer guarantees a non-empty path); for RAW inputs
+    without one (http://h.test?x=1 — httpscan accepts arbitrary URLs)
+    the path is EMPTY, matching Go url.Parse's u.Path — substr from
+    instr==0 would otherwise return the whole authority and httpscan
+    would probe the hostname as a path segment."""
     rest = _after_scheme(canon)
-    pathq = rest.substr(F.instr(rest, "/"), F.length(rest))
+    slash = F.instr(rest, "/")
+    pathq = F.when(
+        slash > 0, rest.substr(slash, F.length(rest))
+    ).otherwise(F.lit(""))
     return F.substring_index(pathq, "?", 1)
 
 

@@ -137,9 +137,15 @@ def run_scan(
                 # fires and times each request individually, so two
                 # probes of the same url+vector must not share a body
                 reflected = h64("scan", url, kind, target, vector) % 8 == 0
+                # a reflection echoes what the detector looks for: the
+                # Test string, or the VECTOR itself when Test is empty
+                # (the O35 fallback below, mainHttpScan.go:185-188) —
+                # appending '' for empty-test vectors made them
+                # undetectable by construction (review r4)
+                marker = test if test else vector
                 bodies.append(
                     f"<html>resp {h64('b', url, kind, target) % 9999}"
-                    + (test if reflected else "")
+                    + (marker if reflected else "")
                 )
                 durs.append(hint(3, 120, "dur", url, kind, target, vector))
             out["body"] = bodies

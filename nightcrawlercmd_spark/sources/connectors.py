@@ -161,7 +161,11 @@ def simulate_port_scan(
             [(p,) for p in parsed], "port int"
         )
     else:
-        ports = spark.range(start, end + 1).select(
+        # same 0..65535 clamp as list mode: an out-of-range start/end
+        # would emit undialable probe rows (and an end past int32 wraps
+        # negative under the non-ANSI cast) instead of being dropped
+        lo, hi = max(start, 0), min(end, 65535)
+        ports = spark.range(lo, max(hi + 1, lo)).select(
             F.col("id").cast("int").alias("port")
         )
 

@@ -118,7 +118,14 @@ def simulate(
             page = fetch_one(world, canon)
             res.fetched += 1
             res.log.append((r, seq, canon, page["status_code"]))
-            if page["status_code"] == 200 and not no_new_links:
+            if (
+                page["status_code"] == 200
+                and not no_new_links
+                # text/html gate mirrors the engine's fetch stage: 200
+                # binary payloads (load_resources image fetches) are
+                # never link-scanned on either side
+                and (page["content_type"] or "").lower().startswith("text/html")
+            ):
                 hrefs = filter_hrefs(
                     extract_hrefs(page["body"]),
                     follow,

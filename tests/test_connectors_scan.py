@@ -147,6 +147,48 @@ def test_httpscan_matrix_and_scan(spark):
     assert html.startswith("<html>") and "<table>" in html
 
 
+def test_httpscan_pathless_url_and_empty_test_vector(spark):
+    """Review r4: a URL without a path (http://h.test?x=1 — Go
+    url.Parse yields u.Path == \"\") must fire NO segment probes, not
+    probe the hostname as a segment; and a vector whose Test is the
+    empty string must still be detectable — the responder reflects the
+    VECTOR itself, matching the O35 fallback the detector applies."""
+    from unittest.mock import patch
+
+    from nightcrawlercmd_spark.plans import httpscan as hs
+
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url": ["http://h.test?x=1", "http://h.test"]}),
+        "url string",
+    )
+    m = probe_matrix(spark, urls, scan_headers=True).collect()
+    assert not any(r["kind"] == "segment" for r in m)
+    # ?x=1 still fires its param probes; the bare URL fires none
+    assert sum(1 for r in m if r["kind"] == "param") == 5
+
+    # 20/28 shipped reference vectors have Test "" (mainHttpScan.go:
+    # 185-188) — with one in the dim, a large URL set must FIND some
+    empty_test = [{"vector": "<inj>", "test": "", "section": None}]
+    many = spark.createDataFrame(
+        pd.DataFrame({"url": [f"http://v{i:03d}.test/a?k={i}" for i in range(60)]}),
+        "url string",
+    )
+    with patch.object(hs, "VECTORS", empty_test):
+        res = hs.run_scan(spark, many).collect()
+    found = [r for r in res if r["found"]]
+    assert found, "empty-test vectors were undetectable by construction"
+    # detector keys on the vector string for these rows
+    assert all(r["vector"] == "<inj>" for r in found)
+
+
+def test_port_scan_range_clamped(spark):
+    """Review r4: range mode gets the same 0..65535 clamp as list mode
+    (an end past int32 would wrap negative under the non-ANSI cast)."""
+    rows = simulate_port_scan(spark, "h.test", 65530, 4_000_000_000).collect()
+    assert sorted(r["port"] for r in rows) == list(range(65530, 65536))
+    assert simulate_port_scan(spark, "h.test", -5, -1).collect() == []
+
+
 def test_file_walk_source(spark, tmp_path):
     """O5: recursive file walk → text rows with provenance."""
     from pyspark.sql import functions as F

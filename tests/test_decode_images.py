@@ -88,3 +88,21 @@ def test_corrupt_image_degrades_per_row(spark):
     thumbs = {r["image_id"]: r for r in thumbnails(images, size=16, n_tasks=2).collect()}
     assert thumbs["truncated"]["thumb"] is None
     assert all(len(bytes(thumbs[g]["thumb"])) == 768 for g in good["image_id"])
+
+
+def test_fetch_decode_guard_degrades_corrupt_payload():
+    """Review r4: the fetch stage's payload decode must degrade a
+    corrupt blob (truncated / bad stream / unknown fmt) to null img
+    columns instead of raising inside mapInPandas — same per-row
+    contract as multimodal.decode_features."""
+    from nightcrawlercmd_spark.functions import codecs_np as C
+    from nightcrawlercmd_spark.operators.fetch import _decode_phash
+    from nightcrawlercmd_spark.sources.corpus import WorldConfig, gen_image
+
+    world = WorldConfig(n_hosts=2, base_pages=4, hot_factor=2, tag="t-guard")
+    img, w, h, fmt = gen_image(world, "http://h0.t-guard.test/p/0")
+    good = _decode_phash(C.encode(img, fmt), w, h, fmt)
+    assert isinstance(good, int)
+    assert _decode_phash(b"\x01\x02", w, h, "rgb8") is None      # truncated
+    assert _decode_phash(b"\x00" * (w * h * 3), w, h, "nope") is None  # bad fmt
+    assert _decode_phash(b"junk", w, h, "png") is None           # bad stream
