@@ -27,12 +27,14 @@ the RAW ratio is meaningful.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import shutil
 import sys
 import tempfile
 import time
+from contextlib import contextmanager
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -90,19 +92,11 @@ def mid_world(hosts_div: int = 3) -> WorldConfig:
     fewer hosts keep the low-parallelism leg's wall time reasonable
     (``hosts_div=6`` for the 2/8 pair, 3 for the 4/16 pair)."""
     w = bench_world()
-    return WorldConfig(
-        n_hosts=max(200, w.n_hosts // hosts_div),
-        base_pages=w.base_pages,
-        hot_factor=w.hot_factor,
-        links_lo=w.links_lo,
-        links_hi=w.links_hi,
-        budget_lo=w.budget_lo,
-        budget_hi=w.budget_hi,
-        seeds_lo=w.seeds_lo,
-        seeds_hi=w.seeds_hi,
-        img_lo=w.img_lo,
-        img_hi=w.img_hi,
-        tag="bench-mid",
+    # dataclasses.replace: a hand-copied field list silently resets any
+    # WorldConfig knob it forgets (the link-mix probabilities, say) and
+    # the midpair would quietly measure a differently-shaped world
+    return dataclasses.replace(
+        w, n_hosts=max(200, w.n_hosts // hosts_div), tag="bench-mid"
     )
 
 
@@ -128,15 +122,20 @@ def hardware_capacity(procs: int, total: int = 1_200_000, reps: int = 3) -> floa
 
     prev_aff = _set_affinity(procs)
     rates = []
-    with Pool(procs) as p:
-        p.map(_hash_chunk, [(100, k) for k in range(procs)])  # warm
-        for _ in range(reps):
-            t0 = time.time()
-            p.map(_hash_chunk, [(total // procs, k * 1_000_000) for k in range(procs)])
-            rates.append(total / (time.time() - t0))
+    try:
+        with Pool(procs) as p:
+            p.map(_hash_chunk, [(100, k) for k in range(procs)])  # warm
+            for _ in range(reps):
+                t0 = time.time()
+                p.map(_hash_chunk, [(total // procs, k * 1_000_000) for k in range(procs)])
+                rates.append(total / (time.time() - t0))
+    finally:
+        # restore on the error path too: a worker dying mid-probe must
+        # not leave the whole bench pinned to n CPUs (every later leg
+        # would silently run throttled)
+        if prev_aff is not None:
+            os.sched_setaffinity(0, prev_aff)
     rates.sort()
-    if prev_aff is not None:
-        os.sched_setaffinity(0, prev_aff)
     return round(rates[len(rates) // 2], 0)
 
 
@@ -152,18 +151,36 @@ def _set_affinity(n: int) -> set[int] | None:
         return None
 
 
+@contextmanager
+def bench_leg(cpus: int, app: str, state_prefix: str):
+    """One measured leg: affinity-pinned to ``cpus``, fresh local[cpus]
+    session, state dir on tmpfs (a real cluster's state tables live on
+    distributed storage whose bandwidth scales with node count; a
+    single local disk is a constant that would understate scaling for
+    BOTH legs). Teardown — session stop, state cleanup, affinity
+    restore — runs on every path, shared by run_crawl and
+    frontier_growth so a fix in one cannot be missed in the other."""
+    prev_aff = _set_affinity(cpus)
+    spark = get_spark(app=app, cpus=cpus, shuffle_partitions=max(8, cpus))
+    state_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    state = tempfile.mkdtemp(prefix=state_prefix, dir=state_root)
+    try:
+        yield spark, state, state_root
+    finally:
+        spark.stop()
+        shutil.rmtree(state, ignore_errors=True)
+        if prev_aff is not None:
+            os.sched_setaffinity(0, prev_aff)
+
+
 def run_crawl(cpus: int, rounds: int, world: WorldConfig | None = None) -> dict:
     world = world or bench_world()
     hw_before = hardware_capacity(cpus, reps=1)
-    prev_aff = _set_affinity(cpus)
-    spark = get_spark(app=f"ncs-bench-crawl-{cpus}", cpus=cpus,
-                      shuffle_partitions=max(8, cpus))
-    # state on tmpfs: a real cluster's state tables live on distributed
-    # storage whose bandwidth scales with node count; a single local
-    # disk is a constant that would understate scaling for BOTH legs
-    state_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    state = tempfile.mkdtemp(prefix=f"ncs_bench_{cpus}_", dir=state_root)
-    try:
+    with bench_leg(cpus, f"ncs-bench-crawl-{cpus}", f"ncs_bench_{cpus}_") as (
+        spark,
+        state,
+        _,
+    ):
         cfg = EngineConfig(
             state_dir=state,
             world=world,
@@ -203,11 +220,6 @@ def run_crawl(cpus: int, rounds: int, world: WorldConfig | None = None) -> dict:
             "peak_round_urls_per_sec": round(peak, 1) if peak else None,
             "hw_rate_before": hw_before,
         }
-    finally:
-        spark.stop()
-        shutil.rmtree(state, ignore_errors=True)
-        if prev_aff is not None:
-            os.sched_setaffinity(0, prev_aff)
 
 
 def frontier_growth(cpus: int) -> dict:
@@ -243,12 +255,11 @@ def frontier_growth(cpus: int) -> dict:
         p_offsite=0.97,
         tag="bench-fg",
     )
-    prev_aff = _set_affinity(cpus)
-    spark = get_spark(app="ncs-bench-growth", cpus=cpus,
-                      shuffle_partitions=max(8, cpus))
-    state_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    state = tempfile.mkdtemp(prefix="ncs_growth_", dir=state_root)
-    try:
+    with bench_leg(cpus, "ncs-bench-growth", "ncs_growth_") as (
+        spark,
+        state,
+        state_root,
+    ):
         cfg = EngineConfig(
             state_dir=state,
             world=world,
@@ -305,8 +316,14 @@ def frontier_growth(cpus: int) -> dict:
         import pandas as _pd
 
         from pyspark.sql import functions as _F
+        from nightcrawlercmd_spark.operators.links import host_of_col
         from nightcrawlercmd_spark.sources.corpus import seed_rows
 
+        # ONE constant feeds both the seed filter and the engine config
+        # below, and the host comes from the engine's own splitter — a
+        # separately hand-rolled regexp + hardcoded 64 would silently
+        # stop concentrating seeds if either ever changed (review r4)
+        prune_buckets = 64
         fworld = WorldConfig(
             n_hosts=2000,
             base_pages=20,
@@ -325,10 +342,8 @@ def frontier_growth(cpus: int) -> dict:
                 .withColumn(
                     "__b",
                     _F.pmod(
-                        _F.xxhash64(
-                            _F.lower(_F.regexp_extract("url", "://([^/:]+)", 1))
-                        ),
-                        _F.lit(64),
+                        _F.xxhash64(_F.lower(host_of_col(_F.col("url")))),
+                        _F.lit(prune_buckets),
                     ),
                 )
                 .filter(_F.col("__b") < 6)
@@ -344,7 +359,7 @@ def frontier_growth(cpus: int) -> dict:
                 max_rounds=4,
                 round_capacity=100,
                 fetch_tasks=max(8, cpus * 4),
-                pending_buckets=64,
+                pending_buckets=prune_buckets,
                 expected_urls=1 << 15,
             )
             fstats = CrawlEngine(spark, fcfg).run()
@@ -366,11 +381,6 @@ def frontier_growth(cpus: int) -> dict:
             "rounds": rounds,
             "prune": {"buckets_total": fcfg.pending_buckets, "rounds": prune_rounds},
         }
-    finally:
-        spark.stop()
-        shutil.rmtree(state, ignore_errors=True)
-        if prev_aff is not None:
-            os.sched_setaffinity(0, prev_aff)
 
 
 def main() -> None:
@@ -451,18 +461,27 @@ def main() -> None:
             best = None
             best_score = -1.0
             attempts = []
+            last_err: Exception | None = None
             for _att in range(max(1, retries)):
-                probe_lo = hardware_capacity(4, reps=1)
-                probe_hi = hardware_capacity(16, reps=1)
-                probe_eff = round((probe_hi / probe_lo) / 4.0, 3)
-                if probe_eff >= 0.78:
-                    pl, ph, mw = 4, 16, mid_world(3)
-                else:  # VM too contended for 16 threads — drop to 2 vs 8
-                    pl, ph, mw = 2, 8, mid_world(6)
-                m_hi = run_crawl(ph, rounds, world=mw)
-                m_hi["hw_rate"] = (hardware_capacity(ph, reps=1) + m_hi["hw_rate_before"]) / 2
-                m_lo = run_crawl(pl, rounds, world=mw)
-                m_lo["hw_rate"] = (hardware_capacity(pl, reps=1) + m_lo["hw_rate_before"]) / 2
+                # a transient failure in ONE attempt must not discard
+                # measurements already in hand — record it and retry;
+                # only an all-attempts failure surfaces as midpair_error
+                try:
+                    probe_lo = hardware_capacity(4, reps=1)
+                    probe_hi = hardware_capacity(16, reps=1)
+                    probe_eff = round((probe_hi / probe_lo) / 4.0, 3)
+                    if probe_eff >= 0.78:
+                        pl, ph, mw = 4, 16, mid_world(3)
+                    else:  # VM too contended for 16 threads — drop to 2 vs 8
+                        pl, ph, mw = 2, 8, mid_world(6)
+                    m_hi = run_crawl(ph, rounds, world=mw)
+                    m_hi["hw_rate"] = (hardware_capacity(ph, reps=1) + m_hi["hw_rate_before"]) / 2
+                    m_lo = run_crawl(pl, rounds, world=mw)
+                    m_lo["hw_rate"] = (hardware_capacity(pl, reps=1) + m_lo["hw_rate_before"]) / 2
+                except Exception as e:
+                    last_err = e
+                    attempts.append({"error": str(e)[:120]})
+                    continue
                 m_eff = (m_hi["urls_per_sec"] / m_lo["urls_per_sec"]) / 4.0
                 ms_hi = m_hi.get("steady_urls_per_sec")
                 ms_lo = m_lo.get("steady_urls_per_sec")
@@ -486,10 +505,13 @@ def main() -> None:
                     best, best_score = rec, score
                 if score >= 0.8:
                     break
-            best["attempts"] = attempts
-            if best_score < 0.8 and best["hardware_scaling"] < 0.65:
-                best["window_limited"] = True
-            out["crawl"]["midpair"] = best
+            if best is not None:
+                best["attempts"] = attempts
+                if best_score < 0.8 and best["hardware_scaling"] < 0.65:
+                    best["window_limited"] = True
+                out["crawl"]["midpair"] = best
+            elif last_err is not None:
+                out["crawl"]["midpair_error"] = str(last_err)[:200]
         except Exception as e:
             out["crawl"]["midpair_error"] = str(e)[:200]
     # --- frontier-growth micro-bench: O(delta) pending maintenance ----

@@ -78,7 +78,11 @@ def page_features_udf(ruleset_path: str | None = None):
             # payload replacement-decoded to mojibake must not seed
             # generated wordlists (ADVICE r3) — while the raw-body
             # URL/IP extraction below still sees every page.
-            text = html_to_text(b) if is_html else (
+            # every html-consuming helper below receives the ALREADY
+            # decoded string — handing them the bytes would repeat the
+            # full-body utf-8 decode up to four times per page in the
+            # suite's dominant Python stage (review r4)
+            text = html_to_text(raw) if is_html else (
                 raw if ct_l.startswith("text/") else ""
             )
             rows.append(
@@ -94,9 +98,9 @@ def page_features_udf(ruleset_path: str | None = None):
                     "text_urls": _URL_RE.findall(raw)[:CAP_URLS],
                     "text_ips": _IP_RE.findall(raw)[:CAP_IPS],
                     "query_keys": _query_keys(u),
-                    "forms": extract_forms(b) if is_html else [],
+                    "forms": extract_forms(raw) if is_html else [],
                     "invalid_tags": validate_html(raw, ruleset_path) if is_html else [],
-                    "hrefs": extract_hrefs(b) if is_html else [],
+                    "hrefs": extract_hrefs(raw) if is_html else [],
                 }
             )
         return pd.DataFrame(rows)
@@ -281,13 +285,15 @@ def wordlist_pipeline(
     texts = pages.select(
         page_text_udf()(F.col("body"), F.col("content_type")).alias("text")
     )
-    parts = [
-        texts.select(F.explode(extract_tokens(F.col("text"), ex)).alias("token"))
-        for ex in extractors
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
+    # ONE scan for all modes: per-extractor union branches would
+    # physically re-run the text UDF over every page per extractor
+    # (Catalyst does not dedupe identical union branches); concat the
+    # token arrays in a single projection and explode once instead —
+    # same bag union, the final distinct makes them identical (review r4)
+    arrs = [extract_tokens(F.col("text"), ex) for ex in extractors]
+    out = texts.select(
+        F.explode(arrs[0] if len(arrs) == 1 else F.concat(*arrs)).alias("token")
+    )
     # one normalization, reference-positioned BEFORE permute
     # (findAllWords lowers+trims each word, mainWordlist.go:165-167);
     # mutations of lowered/trimmed input need no second pass

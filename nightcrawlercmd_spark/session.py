@@ -13,6 +13,23 @@ def get_spark(
     shuffle_partitions: int = 32,
 ) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    want = f"local[{cpus}]"
+    # getOrCreate() silently reuses ANY live session and ignores the
+    # requested master/configs — a bench leg asking for local[2] while
+    # a local[32] session leaks would "measure" garbage scaling with no
+    # error. Fail loudly on a master mismatch instead (review r4).
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        try:
+            live = active.sparkContext._jsc is not None
+            cur = active.sparkContext.master if live else None
+        except Exception:
+            cur = None
+        if cur is not None and cur != want:
+            raise RuntimeError(
+                f"get_spark(cpus={cpus}) would silently reuse the active "
+                f"session on master {cur!r}; stop it first"
+            )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
