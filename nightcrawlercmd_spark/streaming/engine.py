@@ -199,6 +199,21 @@ class EngineConfig:
     # between O(suspect buckets) and O(all history) I/O per round.
     seen_buckets: int = 64
     seen_prune_min_total: int = 5_000_000
+    # inverted exact probe: the straight `suspects LEFT ANTI seen`
+    # shuffles BOTH sides on (url_hash, canon_url) — at the 10^10-URL
+    # design point the pruned seen read is still the dominant exchange
+    # of the round (PLANS.md "Known scale limits"). When the round's
+    # suspect set is small (mature-crawl regime: bloom FPs + a thin
+    # true-dup band, counted for free by the same job that lists the
+    # suspect buckets), the join inverts: seen LEFT SEMI
+    # broadcast(suspect keys) → confirmed (≤ suspects rows), then
+    # suspects LEFT ANTI broadcast(confirmed). The seen side becomes a
+    # pure streamed scan — zero Exchange, zero sort — and only
+    # O(suspects) bytes ever move. Set-identical to the shuffle form
+    # because anti(suspects, seen) ≡ anti(suspects, seen ∩ suspects).
+    # 0 disables; the threshold bounds the broadcast build
+    # (~100 B/row → default ≈ 20 MB).
+    suspect_broadcast_max: int = 200_000
     # incremental seen compaction (seen analog of the pending knobs
     # above): a compaction folds only sbuckets whose unfolded delta
     # exceeds dirty_frac of their base rows; max_lag bounds how far a
@@ -221,6 +236,33 @@ def seed_udf():
 
 def _with_salt_cols(df: DataFrame, n_salts: int) -> DataFrame:
     return df.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
+
+
+_SEEN_KEY = ["url_hash", "canon_url"]
+
+
+def seen_anti_join(suspects: DataFrame, seen: DataFrame, invert: bool) -> DataFrame:
+    """Rows of ``suspects`` whose (url_hash, canon_url) is NOT in
+    ``seen`` — the exact half of the O51 dedupe (the hash alone has
+    expected birthday collisions > 1 at the 10^10-URL design point; a
+    hash-only key would drop a distinct URL forever).
+
+    ``invert=False`` is the plain LEFT ANTI: both sides exchange on
+    the key. ``invert=True`` is the broadcast-inverted form for small
+    suspect sets: confirmed = seen LEFT SEMI broadcast(suspect keys),
+    then suspects LEFT ANTI broadcast(confirmed). Set-identical
+    (anti(S, T) ≡ anti(S, T ∩ S), and LEFT ANTI keeps left
+    multiplicity either way) but the executed plan carries NO shuffle
+    Exchange — the seen side is a streamed scan probed against a
+    ≤ |suspects|-row broadcast, so a 10^10-row history moves zero
+    bytes. Engaged by the engine only when the suspect count (known
+    from the bucket-stats job) is under ``suspect_broadcast_max``."""
+    if not invert:
+        return suspects.join(seen.select(*_SEEN_KEY), _SEEN_KEY, "left_anti")
+    confirmed = seen.select(*_SEEN_KEY).join(
+        F.broadcast(suspects.select(*_SEEN_KEY)), _SEEN_KEY, "left_semi"
+    )
+    return suspects.join(F.broadcast(confirmed), _SEEN_KEY, "left_anti")
 
 
 def robots_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
@@ -732,15 +774,19 @@ class CrawlEngine:
                 return v
         return -1
 
-    def _suspect_buckets(self, suspects: DataFrame) -> list[int]:
-        """Distinct sbuckets of the round's bloom-positive suspects —
-        bounded by cfg.seen_buckets values, small by construction."""
+    def _suspect_bucket_counts(self, suspects: DataFrame) -> dict[int, int]:
+        """Per-sbucket row counts of the round's bloom-positive
+        suspects — ≤ cfg.seen_buckets result rows by construction. One
+        small job against the round-cached `tagged` set; the keys drive
+        the partition-pruned seen read and the summed counts decide
+        whether the exact probe can invert to the broadcast form."""
         rows = (
             suspects.select(self._sbucket(F.col("url_hash")).alias("sb"))
-            .distinct()
+            .groupBy("sb")
+            .count()
             .collect()
         )
-        return sorted(r["sb"] for r in rows)
+        return {int(r["sb"]): int(r["count"]) for r in rows}
 
     def _seen_delta_counts(self, folded: dict[int, int], upto_round: int) -> dict[int, int]:
         """Per-sbucket count of UNFOLDED seen-delta rows in
@@ -1211,24 +1257,23 @@ class CrawlEngine:
             raw_suspects = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
             # exact-probe read: once the crawl is large, prune the seen
             # scan to the partitions holding this round's suspects (the
-            # bucket list costs one small job against the cached tagged
-            # set; below the threshold the whole table is cheaper)
+            # bucket stats cost one small job against the cached tagged
+            # set; below the threshold the whole table is cheaper).
+            # The same job's counts decide the join strategy: a small
+            # suspect set inverts the anti-join to the broadcast form
+            # (seen_anti_join) so the pruned history is scanned, never
+            # shuffled. Bloom stays hash-keyed (a colliding new URL
+            # just becomes a suspect and resolves in the exact probe).
+            invert = False
             if fetched_total >= cfg.seen_prune_min_total:
-                seen = self._read_seen(
-                    r - 1, bucket_filter=self._suspect_buckets(raw_suspects)
+                sb_counts = self._suspect_bucket_counts(raw_suspects)
+                seen = self._read_seen(r - 1, bucket_filter=sorted(sb_counts))
+                invert = (
+                    0 < sum(sb_counts.values()) <= cfg.suspect_broadcast_max
                 )
             else:
                 seen = self._read_seen(r - 1)
-            # anti-join on (hash, canon) — the hash alone has expected
-            # birthday collisions >1 at the 10^10-URL design point, and
-            # a collision keyed on hash only would drop a distinct URL
-            # forever. Bloom stays hash-keyed (a colliding new URL just
-            # becomes a suspect and resolves here).
-            suspects = raw_suspects.join(
-                seen.select("url_hash", "canon_url"),
-                ["url_hash", "canon_url"],
-                "left_anti",
-            )
+            suspects = seen_anti_join(raw_suspects, seen, invert)
             new = fresh.unionByName(suspects)
         else:
             tagged = None

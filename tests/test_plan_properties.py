@@ -244,3 +244,48 @@ def test_dequeue_max_take_two_level(spark):
     a = sorted(tuple(r) for r in got.collect())
     b = sorted(tuple(r) for r in expect.collect())
     assert len(a) == 123 and a == b
+
+
+def test_seen_anti_join_invert_is_shuffle_free(spark):
+    """The broadcast-inverted exact probe (PLANS.md "Known scale
+    limits" closure): with a small suspect set the seen history must
+    be a streamed scan — zero shuffle Exchange in the executed plan,
+    only BroadcastExchange of suspect-sized sets — and the result must
+    equal the plain LEFT ANTI row-for-row, duplicates included.
+    auto-broadcast is disabled so the plain form exhibits the shuffle
+    it takes at scale (the explicit hints in the inverted form are
+    unaffected by the threshold)."""
+    from nightcrawlercmd_spark.streaming.engine import seen_anti_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        suspects = spark.createDataFrame(
+            # key 2 is duplicated on the left: LEFT ANTI must keep both
+            [(1, "http://a.test/", "a.test"),
+             (2, "http://b.test/", "b.test"),
+             (2, "http://b.test/", "b.test"),
+             (3, "http://c.test/", "c.test"),
+             (7, "http://h.test/", "h.test")],
+            "url_hash bigint, canon_url string, host string",
+        )
+        seen = spark.createDataFrame(
+            [(2, "http://b.test/", 0), (3, "http://c.test/", 1),
+             (9, "http://z.test/", 2), (7, "http://OTHER.test/", 3)],
+            "url_hash bigint, canon_url string, first_round int",
+        )
+        inv = seen_anti_join(suspects, seen, invert=True)
+        p = plan_of(inv, "simple")
+        assert "Exchange hashpartitioning" not in p  # seen never shuffles
+        assert "BroadcastHashJoin" in p
+        assert "LeftSemi" in p and "LeftAnti" in p
+        plain = seen_anti_join(suspects, seen, invert=False)
+        assert "Exchange hashpartitioning" in plan_of(plain, "simple")
+        a = sorted(tuple(r) for r in inv.collect())
+        b = sorted(tuple(r) for r in plain.collect())
+        # hash 7 survives: the composite (hash, canon) key must miss on
+        # a hash-only birthday collision
+        assert a == b == [(1, "http://a.test/", "a.test"),
+                          (7, "http://h.test/", "h.test")]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
