@@ -78,6 +78,17 @@ def extract_tokens(col: Column, extractor: str = "word") -> Column:
     raise ValueError(f"unknown extractor {extractor!r}; one of {EXTRACTORS}")
 
 
+def tag_with_file(tok: Column, file: Column) -> Column:
+    """The wordlist ``-show-file-name`` switch (reference
+    mainWordlist.go:44,165-172): each extracted token is keyed as
+    ``lower(trim(tok)) [file]`` BEFORE the global dedupe, so the same
+    word appearing in two files stays two wordlist entries. The
+    reference's final write pass lowercases the whole templated entry
+    (createWordList, mainWordlist.go:84-87) — callers apply that outer
+    ``lower(trim(…))`` themselves, as q_wordlist_showfile does."""
+    return F.concat(F.lower(F.trim(tok)), F.lit(" ["), file, F.lit("]"))
+
+
 def username_mutations(col: Column) -> Column:
     """The wordlist `-mutator username` (VERDICT r3 item 4; reference
     mainWordlist.go:125-152 ``usernameMutator``): split the line on

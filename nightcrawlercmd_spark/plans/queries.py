@@ -113,6 +113,34 @@ ORDER BY username
 """
 
 
+def q_wordlist_showfile(spark, sf):
+    """Wordlist `-show-file-name` (reference mainWordlist.go:44,
+    165-172): every extracted word keyed as ``word [file]`` before the
+    global dedupe — the same word in two files stays two entries —
+    then the reference's final wordlist normalize (lower+trim+distinct,
+    sorted; createWordList mainWordlist.go:78-103). `source` is the
+    file-path analog of the documents table."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(T.words(F.col("text"))).alias("w"), "source")
+        .select(
+            F.lower(
+                F.trim(T.tag_with_file(F.col("w"), F.col("source")))
+            ).alias("entry")
+        )
+        .distinct()
+        .orderBy("entry")
+    )
+
+
+SQL_WORDLIST_SHOWFILE = f"""
+SELECT DISTINCT lower(trim(lower(trim(w)) || ' [' || source || ']')) AS entry
+FROM (SELECT unnest(regexp_extract_all(text, '{WORD_RE}')) AS w, source
+      FROM documents)
+ORDER BY entry
+"""
+
+
 def q_report_query_keys(spark, sf):
     """O17/O62: query-key style extraction from events.props JSON —
     distinct key values + count + deterministic sample event."""
@@ -2262,6 +2290,7 @@ FROM documents GROUP BY 1
 # a green driver row in round 3 or this rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- [1] oracle-backed, never driver-verified: run these first ----
+    "wordlist_showfile": q_wordlist_showfile,
     "wordlist_mutator": q_wordlist_mutator,
     "embedding_norms": q_embedding_norms,
     "embedding_near_dup": q_embedding_near_dup,
@@ -2387,6 +2416,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "cosine_near_dup_lsh": SQL_COSINE_NEAR_DUP_LSH,
     "wordlist_mutator": SQL_WORDLIST_MUTATOR,
+    "wordlist_showfile": SQL_WORDLIST_SHOWFILE,
     "fuzzer_generate": _sql_fuzzer(),
     "fuzzer_random": _sql_fuzzer_random(),
     # crawl_e2e / multimodal_decode / ann_lsh_topk / dns_sweep /

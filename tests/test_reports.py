@@ -254,6 +254,36 @@ def test_extract_tokens_modes(spark):
     assert [r["x"] for r in toks("none")] == [text]  # newline split
 
 
+def test_tag_with_file_reference_semantics(spark):
+    """`-show-file-name` (mainWordlist.go:44,165-172): words are keyed
+    `lower(trim(word)) [file]` BEFORE the dedupe — the same word from
+    two files yields two entries — and the final wordlist pass
+    lowercases the whole tagged entry, file part included."""
+    from pyspark.sql import functions as F
+
+    from nightcrawlercmd_spark.operators.textops import tag_with_file, words
+
+    df = spark.createDataFrame(
+        [("Alpha beta", "Notes.TXT"), ("alpha gamma", "b.txt")],
+        "text string, file string",
+    )
+    got = sorted(
+        r["entry"]
+        for r in df.select(F.explode(words(F.col("text"))).alias("w"), "file")
+        .select(
+            F.lower(F.trim(tag_with_file(F.col("w"), F.col("file")))).alias("entry")
+        )
+        .distinct()
+        .collect()
+    )
+    assert got == [
+        "alpha [b.txt]",
+        "alpha [notes.txt]",  # same word, two files → two entries
+        "beta [notes.txt]",
+        "gamma [b.txt]",
+    ]
+
+
 def test_unquoted_attribute_values():
     """Legal unquoted href/src/attr values (<a href=/about>) extract
     like quoted ones (goquery parses both); the quoted form still
