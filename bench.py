@@ -160,15 +160,23 @@ def bench_leg(cpus: int, app: str, state_prefix: str):
     BOTH legs). Teardown — session stop, state cleanup, affinity
     restore — runs on every path, shared by run_crawl and
     frontier_growth so a fix in one cannot be missed in the other."""
-    prev_aff = _set_affinity(cpus)
-    spark = get_spark(app=app, cpus=cpus, shuffle_partitions=max(8, cpus))
+    # setup runs INSIDE the try: if get_spark or mkdtemp raises, the
+    # pieces already built (the affinity pin, the session) must still
+    # tear down, or one transient failure cascades — a leaked session
+    # makes every later leg's get_spark fail its master-mismatch guard
+    # (review r4 follow-up)
+    prev_aff = spark = state = None
     state_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    state = tempfile.mkdtemp(prefix=state_prefix, dir=state_root)
     try:
+        prev_aff = _set_affinity(cpus)
+        spark = get_spark(app=app, cpus=cpus, shuffle_partitions=max(8, cpus))
+        state = tempfile.mkdtemp(prefix=state_prefix, dir=state_root)
         yield spark, state, state_root
     finally:
-        spark.stop()
-        shutil.rmtree(state, ignore_errors=True)
+        if spark is not None:
+            spark.stop()
+        if state is not None:
+            shutil.rmtree(state, ignore_errors=True)
         if prev_aff is not None:
             os.sched_setaffinity(0, prev_aff)
 

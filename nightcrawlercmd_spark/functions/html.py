@@ -54,6 +54,24 @@ def _as_text(body) -> str:
     return str(body)
 
 
+# deny-list, not an allow-list: the reference's goquery link-scans any
+# 200 body regardless of Content-Type, so a server that omits the
+# header (ct == "") or serves application/xhtml+xml MUST still be
+# scanned — an allow-list of "text/html" silently kills such crawls at
+# the first hop. The gate exists only to keep known-binary payloads
+# (load_resources image fetches) out of the hot path's regex scan.
+_BINARY_CT_PREFIXES = ("image/", "video/", "audio/", "font/")
+_BINARY_CT_EXACT = ("application/octet-stream", "application/pdf")
+
+
+def link_scannable(content_type: str | None) -> bool:
+    """Whether a 200 body should be scanned for links given its
+    Content-Type header. Shared verbatim by the fetch stage and the
+    sequential oracle so the gate can never diverge between them."""
+    ct = (content_type or "").lower().split(";", 1)[0].strip()
+    return not (ct.startswith(_BINARY_CT_PREFIXES) or ct in _BINARY_CT_EXACT)
+
+
 def extract_hrefs(body) -> list[str]:
     """All href attribute values, document order, duplicates preserved
     (dedupe is a separate relational step — array_distinct / anti-join)."""

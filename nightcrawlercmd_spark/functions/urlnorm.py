@@ -138,8 +138,12 @@ def resolve(base: str, href: str) -> str | None:
 
 
 def host_of(canon_url: str) -> str:
-    """Host component of an already-canonical URL (cheap split)."""
-    rest = canon_url.split("://", 1)[1]
+    """Host component of a URL (cheap split). Fragment and query are
+    cut first (Go url.Parse order) so RAW pathless inputs like
+    'http://h.test?x=1' don't leak the query into the authority — a
+    no-op for canonical URLs, which always carry a '/' path; twin of
+    links.host_of_col."""
+    rest = canon_url.split("://", 1)[1].split("#", 1)[0].split("?", 1)[0]
     authority = rest.split("/", 1)[0]
     # strip userinfo (canonical form keeps it; '@' in userinfo is
     # always percent-encoded, so the LAST '@' is the delimiter)

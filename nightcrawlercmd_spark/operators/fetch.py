@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions import codecs_np as C
-from ..functions.html import extract_hrefs, extract_srcs
+from ..functions.html import extract_hrefs, extract_srcs, link_scannable
 from ..functions.linkfilter import filter_hrefs
 from ..functions.urlnorm import resolve
 from ..sources.corpus import WorldConfig, fetch_one, gen_image, priority_of
@@ -229,17 +229,16 @@ def fetch_stage(
                         if 300 <= (r["status_code"] or 0) <= 307 and r["location"]
                         else []
                     )
-                elif r["status_code"] == 200 and (
-                    (r["content_type"] or "").lower().startswith("text/html")
+                elif r["status_code"] == 200 and link_scannable(
+                    r["content_type"]
                 ):
                     # follow/dont-follow on the RAW href, pre-resolution
                     # (reference mainCrawler.go:175-196, O20/O40).
-                    # Gated to text/html: in load_resources crawls the
-                    # fetched binary image payloads are 200s too, and
-                    # regex-scanning replacement-decoded binary for
-                    # hrefs is wasted hot-path CPU (goquery on binary
-                    # finds no anchors either); simulator.py gates
-                    # identically
+                    # link_scannable is a binary-type DENY list, not a
+                    # text/html allow list: goquery link-scans any 200
+                    # body, so missing/odd Content-Type still scans;
+                    # only load_resources' fetched image payloads skip
+                    # the regex pass. simulator.py gates identically
                     hrefs = filter_hrefs(
                         extract_hrefs(r["body"]), follow, dont_follow, strict_filters
                     )

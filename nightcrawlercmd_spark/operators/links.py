@@ -32,14 +32,29 @@ def _after_scheme(canon: Column) -> Column:
     return canon.substr(F.instr(canon, "://") + F.lit(3), F.length(canon))
 
 
+def _pre_query(rest: Column) -> Column:
+    """Cut the fragment (first '#') then the query (first '?') — the
+    order Go's url.Parse applies before any authority/path split. On
+    RAW inputs (httpscan accepts arbitrary URLs) a '/' inside the
+    query ('http://h.test?next=/login') must NOT read as the path
+    start, and '?x=1' directly after the host must not leak into the
+    authority. No-op for canonical URLs: the canonicalizer guarantees
+    a '/' path, percent-encodes '#', and '?' always starts the
+    query."""
+    return F.substring_index(F.substring_index(rest, "#", 1), "?", 1)
+
+
 def host_of_col(canon: Column) -> Column:
-    """Host of a *canonical* URL via string ops (codegen, no parse_url).
+    """Host of a URL via string ops (codegen, no parse_url). Query and
+    fragment are cut first (raw pathless inputs like
+    'http://h.test?x=1' otherwise leak '?x=1' into the authority);
     IPv6 literals ([::1]:8080) unwrap to the bracket contents, and
     userinfo is stripped on the LAST '@' ('@' inside userinfo is always
     percent-encoded in canonical form), matching the Python
-    ``urlnorm.host_of`` twin."""
+    ``urlnorm.host_of`` twin on canonical URLs and Go url.Parse's
+    u.Hostname() on raw ones."""
     auth = F.substring_index(
-        F.substring_index(_after_scheme(canon), "/", 1), "@", -1
+        F.substring_index(_pre_query(_after_scheme(canon)), "/", 1), "@", -1
     )
     return F.when(
         F.startswith(auth, F.lit("[")),
@@ -48,18 +63,17 @@ def host_of_col(canon: Column) -> Column:
 
 
 def path_of_col(canon: Column) -> Column:
-    """Path (sans query) of a URL. Canonical URLs always carry a '/'
-    (the canonicalizer guarantees a non-empty path); for RAW inputs
-    without one (http://h.test?x=1 — httpscan accepts arbitrary URLs)
-    the path is EMPTY, matching Go url.Parse's u.Path — substr from
-    instr==0 would otherwise return the whole authority and httpscan
-    would probe the hostname as a path segment."""
-    rest = _after_scheme(canon)
+    """Path (sans query/fragment) of a URL. Canonical URLs always
+    carry a '/' (the canonicalizer guarantees a non-empty path); for
+    RAW inputs the query/fragment are cut FIRST, so a pathless URL
+    ('http://h.test?x=1') yields the empty path and a '/' inside the
+    query ('http://h.test?next=/login') is not mistaken for the path
+    start — both matching Go url.Parse's u.Path."""
+    rest = _pre_query(_after_scheme(canon))
     slash = F.instr(rest, "/")
-    pathq = F.when(
-        slash > 0, rest.substr(slash, F.length(rest))
-    ).otherwise(F.lit(""))
-    return F.substring_index(pathq, "?", 1)
+    return F.when(slash > 0, rest.substr(slash, F.length(rest))).otherwise(
+        F.lit("")
+    )
 
 
 def robots_allowed_filter(df: DataFrame, robots: DataFrame) -> DataFrame:

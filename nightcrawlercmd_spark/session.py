@@ -18,16 +18,25 @@ def get_spark(
     # requested master/configs — a bench leg asking for local[2] while
     # a local[32] session leaks would "measure" garbage scaling with no
     # error. Fail loudly on a master mismatch instead (review r4).
-    active = SparkSession.getActiveSession()
-    if active is not None:
+    # getOrCreate() consults the GLOBAL _instantiatedSession (plus the
+    # thread-local active one), so the guard must check both — a
+    # session created in another thread makes getActiveSession()
+    # return None here while getOrCreate() would still reuse it
+    # (review r4 follow-up; verified against pyspark 4.1.2 source).
+    for candidate in (
+        SparkSession.getActiveSession(),
+        getattr(SparkSession, "_instantiatedSession", None),
+    ):
+        if candidate is None:
+            continue
         try:
-            live = active.sparkContext._jsc is not None
-            cur = active.sparkContext.master if live else None
+            live = candidate.sparkContext._jsc is not None
+            cur = candidate.sparkContext.master if live else None
         except Exception:
             cur = None
         if cur is not None and cur != want:
             raise RuntimeError(
-                f"get_spark(cpus={cpus}) would silently reuse the active "
+                f"get_spark(cpus={cpus}) would silently reuse the live "
                 f"session on master {cur!r}; stop it first"
             )
     return (

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..functions.html import extract_hrefs, extract_srcs
+from ..functions.html import extract_hrefs, extract_srcs, link_scannable
 from ..functions.linkfilter import filter_hrefs
 from ..functions.urlnorm import canonicalize, host_of, resolve
 from ..sources.corpus import (
@@ -39,10 +39,12 @@ class SimResult:
 
 
 def _path_of(canon: str) -> str:
-    rest = canon.split("://", 1)[1]
+    # fragment/query cut FIRST (Go url.Parse order), then the path
+    # split — identical to links.path_of_col including the empty path
+    # for raw pathless URLs (canonical URLs always carry a '/')
+    rest = canon.split("://", 1)[1].split("#", 1)[0].split("?", 1)[0]
     i = rest.find("/")
-    path = rest[i:] if i >= 0 else "/"
-    return path.split("?", 1)[0]
+    return rest[i:] if i >= 0 else ""
 
 
 def simulate(
@@ -121,10 +123,11 @@ def simulate(
             if (
                 page["status_code"] == 200
                 and not no_new_links
-                # text/html gate mirrors the engine's fetch stage: 200
-                # binary payloads (load_resources image fetches) are
-                # never link-scanned on either side
-                and (page["content_type"] or "").lower().startswith("text/html")
+                # shared binary-deny gate mirrors the engine's fetch
+                # stage: 200 binary payloads (load_resources image
+                # fetches) are never link-scanned on either side, but
+                # missing/odd Content-Type still scans like goquery
+                and link_scannable(page["content_type"])
             ):
                 hrefs = filter_hrefs(
                     extract_hrefs(page["body"]),

@@ -261,9 +261,11 @@ def test_seen_anti_join_invert_is_shuffle_free(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         suspects = spark.createDataFrame(
-            # key 2 is duplicated on the left: LEFT ANTI must keep both
+            # SURVIVING key 1 is duplicated on the left: LEFT ANTI must
+            # keep both copies (a distinct()/inner-join rewrite inside
+            # the inverted form would collapse them and fail here)
             [(1, "http://a.test/", "a.test"),
-             (2, "http://b.test/", "b.test"),
+             (1, "http://a.test/", "a.test"),
              (2, "http://b.test/", "b.test"),
              (3, "http://c.test/", "c.test"),
              (7, "http://h.test/", "h.test")],
@@ -284,8 +286,9 @@ def test_seen_anti_join_invert_is_shuffle_free(spark):
         a = sorted(tuple(r) for r in inv.collect())
         b = sorted(tuple(r) for r in plain.collect())
         # hash 7 survives: the composite (hash, canon) key must miss on
-        # a hash-only birthday collision
+        # a hash-only birthday collision; hash 1 survives TWICE
         assert a == b == [(1, "http://a.test/", "a.test"),
+                          (1, "http://a.test/", "a.test"),
                           (7, "http://h.test/", "h.test")]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -254,6 +254,24 @@ def test_extract_tokens_modes(spark):
     assert [r["x"] for r in toks("none")] == [text]  # newline split
 
 
+def test_link_scannable_is_binary_deny_list():
+    """Link scanning gates on a binary DENY list, not a text/html
+    allow list (review r4): goquery link-scans any 200 body, so a
+    server omitting Content-Type — or serving application/xhtml+xml —
+    must still have its links extracted; only known-binary payload
+    types (load_resources image fetches) skip the regex pass."""
+    from nightcrawlercmd_spark.functions.html import link_scannable
+
+    for ct in (None, "", "text/html", "text/html; charset=utf-8",
+               "application/xhtml+xml", "text/plain", "application/json",
+               "Weird/Unknown"):
+        assert link_scannable(ct), ct
+    for ct in ("image/png", "IMAGE/JPEG", "video/mp4", "audio/ogg",
+               "font/woff2", "application/octet-stream",
+               "application/pdf; name=x"):
+        assert not link_scannable(ct), ct
+
+
 def test_tag_with_file_reference_semantics(spark):
     """`-show-file-name` (mainWordlist.go:44,165-172): words are keyed
     `lower(trim(word)) [file]` BEFORE the dedupe — the same word from

@@ -121,6 +121,14 @@ def test_host_path_cols_match_python_twins(spark):
         "http://alice@host03.w1.test/p",
         "http://alice:pw@host03.w1.test:8080/p?u=http://bob@e.test/z",
         "http://alice@[::1]:8080/p",
+        # RAW (non-canonical) httpscan shapes: query/fragment must be
+        # cut BEFORE the authority/path split (Go url.Parse order) — a
+        # '/' inside the query is not the path start, and '?x=1' after
+        # a pathless host is not part of the authority
+        "http://h.test?next=/login",
+        "http://h.test?x=1",
+        "http://h.test#frag/with/slashes",
+        "http://h.test:8080?y=/a",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "canon_url string")
     rows = df.select(
