@@ -1242,6 +1242,7 @@ class CrawlEngine:
             # only redirect Location targets (mainCrawler.go:164-173)
             link_src = pages.filter(F.col("status_code").between(300, 307))
         cands = enqueue_rows(link_src, self.robots, scope_hosts, r)
+        invert = False  # whether the exact probe ran broadcast-inverted
         if cfg.use_bloom:
             # persist: the bloom split consumes `tagged` twice (fresh +
             # suspects) — without the cache the extract/dedupe pipeline
@@ -1264,7 +1265,6 @@ class CrawlEngine:
             # (seen_anti_join) so the pruned history is scanned, never
             # shuffled. Bloom stays hash-keyed (a colliding new URL
             # just becomes a suspect and resolves in the exact probe).
-            invert = False
             if fetched_total >= cfg.seen_prune_min_total:
                 sb_counts = self._suspect_bucket_counts(raw_suspects)
                 seen = self._read_seen(r - 1, bucket_filter=sorted(sb_counts))
@@ -1488,6 +1488,9 @@ class CrawlEngine:
             # buckets actually assembled for the dequeue (None = full)
             "pending_buckets_read": prune_info["buckets_read"],
             "prune_fallback": prune_info["prune_fallback"],
+            # whether the exact seen probe ran as the shuffle-free
+            # broadcast-inverted join this round (small suspect set)
+            "seen_probe_inverted": invert,
             "stop": n_pending == 0,
         }
 
@@ -1536,7 +1539,8 @@ class CrawlEngine:
                  "pending_rewritten": out.get("pending_rewritten"),
                  "seen_rewritten": out.get("seen_rewritten"),
                  "pending_buckets_read": out.get("pending_buckets_read"),
-                 "prune_fallback": out.get("prune_fallback")}
+                 "prune_fallback": out.get("prune_fallback"),
+                 "seen_probe_inverted": out.get("seen_probe_inverted")}
             )
             stats["rounds"] = r
             if out.get("stop"):

@@ -63,3 +63,7 @@ def test_all_features_crawl_matches_oracle(spark, tmp_path):
         if r > 0
     ]
     assert any(v > 0 for v in rewrites) and any(v == 0 for v in rewrites)
+    # the broadcast-inverted exact probe engaged (suspect counts are
+    # far under the default threshold at this scale) and is visible in
+    # the per-round stats the bench records
+    assert any(rt.get("seen_probe_inverted") for rt in stats["round_times"])
