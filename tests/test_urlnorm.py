@@ -139,3 +139,60 @@ def test_host_path_cols_match_python_twins(spark):
     for r in rows:
         assert r["h"] == host_of(r["canon_url"]), r["canon_url"]
         assert r["p"] == _path_of(r["canon_url"]), r["canon_url"]
+
+
+def test_host_path_cols_component_roundtrip(spark):
+    """Seeded-random component round-trip: assemble raw URLs from known
+    (userinfo, host, port, path, query, fragment) parts — query and
+    fragment free to contain '/' and '?' — and assert the JVM
+    splitters AND the Python twins recover exactly the host and path
+    components (Go url.Parse semantics). One Spark job for all cases."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nightcrawlercmd_spark.functions.urlnorm import host_of
+    from nightcrawlercmd_spark.operators.links import host_of_col, path_of_col
+    from nightcrawlercmd_spark.streaming.simulator import _path_of
+
+    rng = random.Random(0xC0FFEE)
+    hostchars = "abcdefghijklmnopqrstuvwxyz0123456789-."
+    qchars = "abc0189=&_%/?+"
+    cases = []
+    for _ in range(300):
+        host = "".join(rng.choice(hostchars) for _ in range(rng.randint(1, 12)))
+        if rng.random() < 0.1:
+            host_disp, host_want = f"[{host.replace('.', ':')}]", host.replace(".", ":")
+        else:
+            host_disp = host_want = host
+        user = rng.choice(["", "u@", "u:pw@", "a%40b@"])
+        port = rng.choice(["", ":80", ":8080"])
+        path = (
+            "/" + "".join(rng.choice(hostchars + "/~") for _ in range(rng.randint(0, 10)))
+            if rng.random() < 0.6
+            else ""
+        )
+        query = (
+            "?" + "".join(rng.choice(qchars) for _ in range(rng.randint(0, 12)))
+            if rng.random() < 0.6
+            else ""
+        )
+        frag = (
+            "#" + "".join(rng.choice(qchars) for _ in range(rng.randint(0, 8)))
+            if rng.random() < 0.4
+            else ""
+        )
+        url = f"http://{user}{host_disp}{port}{path}{query}{frag}"
+        cases.append((url, host_want, path))
+    df = spark.createDataFrame(
+        [(u,) for u, _, _ in cases], "canon_url string"
+    ).select(
+        "canon_url",
+        host_of_col(F.col("canon_url")).alias("h"),
+        path_of_col(F.col("canon_url")).alias("p"),
+    )
+    got = {r["canon_url"]: (r["h"], r["p"]) for r in df.collect()}
+    for url, want_h, want_p in cases:
+        assert got[url] == (want_h, want_p), url
+        assert host_of(url) == want_h, url
+        assert _path_of(url) == want_p, url
