@@ -368,6 +368,11 @@ def frontier_growth(cpus: int) -> dict:
                 round_capacity=100,
                 fetch_tasks=max(8, cpus * 4),
                 pending_buckets=prune_buckets,
+                # engage the bucket-pruned exact seen probe from round
+                # 1 — with suspect counts this small it runs in the
+                # broadcast-INVERTED form (seen scanned, never
+                # shuffled), recorded per round below
+                seen_prune_min_total=0,
                 expected_urls=1 << 15,
             )
             fstats = CrawlEngine(spark, fcfg).run()
@@ -377,6 +382,7 @@ def frontier_growth(cpus: int) -> dict:
                     "frontier_before": rt.get("pending_before"),
                     "pending_buckets_read": rt.get("pending_buckets_read"),
                     "prune_fallback": rt.get("prune_fallback"),
+                    "seen_probe_inverted": rt.get("seen_probe_inverted"),
                     "seconds": rt["seconds"],
                 }
                 for rt in fstats["round_times"]
@@ -465,7 +471,7 @@ def main() -> None:
             # reaches the ≥0.8 criterion or attempts run out — then
             # report the best attempt, flagged window_limited when the
             # adjacent hardware ceiling itself was under 0.65.
-            retries = int(os.environ.get("NCS_BENCH_MIDPAIR_RETRIES", "3"))
+            retries = int(os.environ.get("NCS_BENCH_MIDPAIR_RETRIES", "5"))
             best = None
             best_score = -1.0
             attempts = []
@@ -480,7 +486,17 @@ def main() -> None:
                     probe_eff = round((probe_hi / probe_lo) / 4.0, 3)
                     if probe_eff >= 0.78:
                         pl, ph, mw = 4, 16, mid_world(3)
-                    else:  # VM too contended for 16 threads — drop to 2 vs 8
+                    elif _att < max(1, retries) - 1:
+                        # the window can't physically express 4× from
+                        # 16 threads right now — don't burn minutes of
+                        # crawl legs measuring the co-tenant (that's
+                        # what ate the r3 attempt budget); the probe
+                        # costs seconds, so spend the attempt waiting
+                        # for a window the criterion CAN pass in
+                        attempts.append({"skipped_probe": probe_eff})
+                        time.sleep(20)
+                        continue
+                    else:  # last attempt: measure the pair that fits
                         pl, ph, mw = 2, 8, mid_world(6)
                     m_hi = run_crawl(ph, rounds, world=mw)
                     m_hi["hw_rate"] = (hardware_capacity(ph, reps=1) + m_hi["hw_rate_before"]) / 2
