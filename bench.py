@@ -173,12 +173,22 @@ def bench_leg(cpus: int, app: str, state_prefix: str):
         state = tempfile.mkdtemp(prefix=state_prefix, dir=state_root)
         yield spark, state, state_root
     finally:
+        # each teardown step guarded independently: spark.stop() on a
+        # dead JVM (OOM'd leg) raises, and that must not skip the
+        # affinity restore or every later leg silently runs pinned to
+        # this leg's cores (review r4 follow-up)
         if spark is not None:
-            spark.stop()
+            try:
+                spark.stop()
+            except Exception:
+                pass
         if state is not None:
             shutil.rmtree(state, ignore_errors=True)
         if prev_aff is not None:
-            os.sched_setaffinity(0, prev_aff)
+            try:
+                os.sched_setaffinity(0, prev_aff)
+            except OSError:
+                pass
 
 
 def run_crawl(cpus: int, rounds: int, world: WorldConfig | None = None) -> dict:

@@ -49,15 +49,21 @@ def probe_matrix(
     cross join against the broadcast vector dim; section filter O49.
     """
     vecs = F.broadcast(vectors_df(spark))
+    # fragment cut FIRST (Go url.Parse order, like host_of_col/
+    # path_of_col): a '#' before the '?' means the '?' is inside the
+    # fragment and there is NO query ('/p#f?x=1' → RawQuery ""), and a
+    # '#' after it ends the query ('/p?key#frag' → key, not key#frag)
+    prefrag = F.substring_index(F.col("url"), "#", 1)
     base = urls.select(
         F.col("url"),
         host_of_col(F.col("url")).alias("host"),
         path_of_col(F.col("url")).alias("path"),
         # everything after the FIRST '?' — substring_index with -1 would
         # take after the LAST one and mangle ?next=/login?retry=1
-        F.col("url")
-        .substr(F.instr(F.col("url"), "?") + F.lit(1), F.length("url"))
-        .alias("query"),
+        prefrag.substr(
+            F.instr(prefrag, "?") + F.lit(1), F.length("url")
+        ).alias("query"),
+        prefrag.contains("?").alias("has_query"),
     )
     # O55: every UNIQUE query key × EVERY vector — the reference
     # iterates `for key := range u.Query()`, a url.Values MAP, so a
@@ -66,7 +72,7 @@ def probe_matrix(
     # (Go's map order is nondeterministic; distinct keys give the same
     # SET of probes deterministically.)
     params = (
-        base.filter(F.col("url").contains("?"))
+        base.filter(F.col("has_query"))
         .select("url", F.explode(F.split("query", "&")).alias("kv"))
         .filter(F.length("kv") > 0)
         .select("url", F.substring_index("kv", "=", 1).alias("target"))

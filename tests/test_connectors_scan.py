@@ -147,6 +147,27 @@ def test_httpscan_matrix_and_scan(spark):
     assert html.startswith("<html>") and "<table>" in html
 
 
+def test_httpscan_fragment_cut_before_query(spark):
+    """Review r4 follow-up: probe_matrix must apply the Go url.Parse
+    cut order to the QUERY too — a '#' before the '?' means the '?' is
+    inside the fragment (no query at all → no param probes), and a '#'
+    after the '?' ends the query (the key is 'key', never
+    'key#frag')."""
+    from nightcrawlercmd_spark.plans import httpscan as hs
+
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url": [
+            "http://h.test/p#f?x=1",      # '?' inside fragment: RawQuery ""
+            "http://h.test/p?key#frag",   # fragment ends the query
+        ]}),
+        "url string",
+    )
+    m = hs.probe_matrix(spark, urls).collect()
+    params = [r for r in m if r["kind"] == "param"]
+    assert all(r["url"] == "http://h.test/p?key#frag" for r in params)
+    assert params and all(r["target"] == "key" for r in params)
+
+
 def test_httpscan_pathless_url_and_empty_test_vector(spark):
     """Review r4: a URL without a path (http://h.test?x=1 — Go
     url.Parse yields u.Path == \"\") must fire NO segment probes, not
