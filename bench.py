@@ -132,9 +132,13 @@ def hardware_capacity(procs: int, total: int = 1_200_000, reps: int = 3) -> floa
     finally:
         # restore on the error path too: a worker dying mid-probe must
         # not leave the whole bench pinned to n CPUs (every later leg
-        # would silently run throttled)
+        # would silently run throttled); guarded like bench_leg's —
+        # a restore failure must not abort the suite
         if prev_aff is not None:
-            os.sched_setaffinity(0, prev_aff)
+            try:
+                os.sched_setaffinity(0, prev_aff)
+            except OSError:
+                pass
     rates.sort()
     return round(rates[len(rates) // 2], 0)
 

@@ -1752,20 +1752,27 @@ def q_httpscan_matrix(spark, sf):
     from ..plans.httpscan import VECTORS, run_scan
 
     urls = spark.createDataFrame(
-        [(f"http://scan{i:02d}.test/a/b{i}?x={i}&y=2",) for i in range(20)],
+        [(f"http://scan{i:02d}.test/a/b{i}?x={i}&y=2",) for i in range(20)]
+        # fragment shapes keep the cut-order agreement live: '?' inside
+        # a fragment probes no params; '#' after '?' ends the key
+        + [("http://scanfr.test/p#f?x=1",), ("http://scanfr.test/p?key#frag",)],
         "url string",
     )
     res = run_scan(spark, urls, scan_headers=True)
-    q = F.col("url").substr(
-        F.instr(F.col("url"), "?") + F.lit(1), F.length("url")
-    )
+    # same Go url.Parse cut order as probe_matrix (review r4
+    # follow-up): fragment first, THEN the first '?' — a '?' inside a
+    # fragment is no query, and a '#' ends one; the oracle must not
+    # re-encode the pre-fix semantics or it would mis-validate
+    # fragment-bearing URLs
+    prefrag = F.substring_index(F.col("url"), "#", 1)
+    q = prefrag.substr(F.instr(prefrag, "?") + F.lit(1), F.length("url"))
     keys = F.array_distinct(
         F.transform(
             F.filter(F.split(q, "&"), lambda x: F.length(x) > 0),
             lambda x: F.substring_index(x, "=", 1),
         )
     )
-    nkeys = F.when(F.col("url").contains("?"), F.size(keys)).otherwise(F.lit(0))
+    nkeys = F.when(prefrag.contains("?"), F.size(keys)).otherwise(F.lit(0))
     nsegs = F.size(
         F.filter(
             F.split(path_of_col(F.col("url")), "/"), lambda x: F.length(x) > 0

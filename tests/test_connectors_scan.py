@@ -153,8 +153,6 @@ def test_httpscan_fragment_cut_before_query(spark):
     inside the fragment (no query at all → no param probes), and a '#'
     after the '?' ends the query (the key is 'key', never
     'key#frag')."""
-    from nightcrawlercmd_spark.plans import httpscan as hs
-
     urls = spark.createDataFrame(
         pd.DataFrame({"url": [
             "http://h.test/p#f?x=1",      # '?' inside fragment: RawQuery ""
@@ -162,7 +160,7 @@ def test_httpscan_fragment_cut_before_query(spark):
         ]}),
         "url string",
     )
-    m = hs.probe_matrix(spark, urls).collect()
+    m = probe_matrix(spark, urls).collect()
     params = [r for r in m if r["kind"] == "param"]
     assert all(r["url"] == "http://h.test/p?key#frag" for r in params)
     assert params and all(r["target"] == "key" for r in params)
