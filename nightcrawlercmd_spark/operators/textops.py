@@ -124,6 +124,82 @@ def username_mutations(col: Column) -> Column:
     return F.array_distinct(F.concat(joins, abbrevs))
 
 
+def _replace_first(t: Column, needle: str, repl: Column) -> Column:
+    """Replace the FIRST occurrence only — the reference substitutes
+    templates with ``strings.Replace(template, "<word>", v, 1)``
+    (mainWordlist.go:84); Spark's ``F.replace`` replaces every
+    occurrence, which diverges on a template carrying two ``<word>``
+    markers (the second must stay literal)."""
+    i = F.instr(t, needle)
+    return F.when(
+        i > 0,
+        F.concat(
+            t.substr(F.lit(1), i - 1),
+            repl,
+            t.substr(i + F.lit(len(needle)), F.length(t)),
+        ),
+    ).otherwise(t)
+
+
+def create_wordlist(
+    docs: DataFrame,
+    extractor: str = "word",
+    file_col: str | None = None,
+    mutator: str | None = None,
+    templates: list[str] | None = None,
+) -> DataFrame:
+    """The reference wordlist subcommand END-TO-END (createWordList,
+    mainWordlist.go:62-103): extract → (optional) ``word [file]``
+    tagging → (optional) mutator → template substitution → the final
+    lower+trim+distinct+sort. The composition order carries the
+    reference's quirks faithfully:
+
+    * the mutator runs on the TAGGED keys (permute iterates the
+      wordMap whose keys already carry ``[file]``, mainWordlist.go:78,
+      105-112) — so with both flags on, the file tag is torn into
+      ``\\w+`` runs and joined into the username variants;
+    * when a mutator is set, ONLY its output survives (the original
+      key is kept only if the mutator re-emits it);
+    * templates substitute the FIRST ``<word>`` occurrence only, and
+      the whole templated string is re-lowercased/trimmed;
+    * empty template lines (a template file's trailing newline) yield
+      empty entries, dropped like writeToFile does.
+
+    Pure JVM end to end — one explode per stage, one distinct before
+    and after the mutator (both are Go map semantics), broadcast
+    template dim, global sort only on the final (small) wordlist."""
+    cols = [F.explode(extract_tokens(F.col("text"), extractor)).alias("tok")]
+    if file_col:
+        cols.append(F.col(file_col).alias("__file"))
+    toks = docs.select(*cols)
+    key = (
+        tag_with_file(F.col("tok"), F.col("__file"))
+        if file_col
+        else F.lower(F.trim("tok"))
+    )
+    keyed = toks.select(key.alias("k")).distinct()
+    if mutator == "username":
+        keyed = keyed.select(
+            F.explode(username_mutations(F.col("k"))).alias("k")
+        ).distinct()
+    elif mutator is not None:
+        raise ValueError(f"unknown mutator {mutator!r}; one of ('username',)")
+    tdf = docs.sparkSession.createDataFrame(
+        [(t,) for t in (templates or ["<word>"])], "template string"
+    )
+    return (
+        keyed.crossJoin(F.broadcast(tdf))
+        .select(
+            F.lower(
+                F.trim(_replace_first(F.col("template"), "<word>", F.col("k")))
+            ).alias("entry")
+        )
+        .filter(F.length("entry") > 0)
+        .distinct()
+        .orderBy("entry")
+    )
+
+
 def md5i(col: Column) -> Column:
     """Deterministic 32-bit-ish integer hash, identical in DuckDB:
     cast(('0x' || substr(md5(x),1,8)) as bigint)."""

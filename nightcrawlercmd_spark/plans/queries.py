@@ -141,6 +141,52 @@ ORDER BY entry
 """
 
 
+def q_wordlist_full(spark, sf):
+    """The wordlist subcommand composed END-TO-END (createWordList,
+    mainWordlist.go:62-103): word extractor → `word [file]` tagging →
+    username mutator → two templates → final lower/trim/distinct/sort,
+    including the reference quirk that the mutator runs on the TAGGED
+    keys (the file tag is torn into \\w+ runs and joined into the
+    variants). `source` is the file-path analog."""
+    docs = _t(spark, sf, "documents")
+    return T.create_wordlist(
+        docs,
+        extractor="word",
+        file_col="source",
+        mutator="username",
+        templates=["<word>", "adm-<word>-x"],
+    )
+
+
+SQL_WORDLIST_FULL = f"""
+WITH toks AS (
+  SELECT DISTINCT lower(trim(w)) || ' [' || source || ']' AS k
+  FROM (SELECT unnest(regexp_extract_all(text, '{WORD_RE}')) AS w, source
+        FROM documents)
+), wds AS (
+  SELECT regexp_extract_all(k, '\\w+') AS w FROM toks
+), multi AS (
+  SELECT coalesce(array_to_string(w[1:i-1], ''), '') AS prev,
+         substr(w[i], 1, 1) AS initial,
+         coalesce(array_to_string(w[i+1:len(w)], ''), '') AS rest
+  FROM (SELECT w, unnest(generate_series(1, len(w))) AS i
+        FROM wds WHERE len(w) >= 2)
+), variants AS (
+  SELECT array_to_string(w, '') AS u FROM wds
+  UNION ALL SELECT array_to_string(w, '_') FROM wds
+  UNION ALL SELECT array_to_string(w, '.') FROM wds
+  UNION ALL SELECT array_to_string(w, '-') FROM wds
+  UNION ALL SELECT prev || initial || rest FROM multi
+  UNION ALL SELECT prev || rest FROM multi
+), vk AS (SELECT DISTINCT u FROM variants),
+tpl AS (SELECT unnest(['<word>', 'adm-<word>-x']) AS t)
+SELECT DISTINCT lower(trim(replace(t, '<word>', u))) AS entry
+FROM vk CROSS JOIN tpl
+WHERE length(lower(trim(replace(t, '<word>', u)))) > 0
+ORDER BY entry
+"""
+
+
 def q_report_query_keys(spark, sf):
     """O17/O62: query-key style extraction from events.props JSON —
     distinct key values + count + deterministic sample event."""
@@ -2298,6 +2344,7 @@ FROM documents GROUP BY 1
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- [1] oracle-backed, never driver-verified: run these first ----
     "wordlist_showfile": q_wordlist_showfile,
+    "wordlist_full": q_wordlist_full,
     "wordlist_mutator": q_wordlist_mutator,
     "embedding_norms": q_embedding_norms,
     "embedding_near_dup": q_embedding_near_dup,
@@ -2324,7 +2371,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
-    "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "near_dup_lsh_exact": q_near_dup_lsh_exact,
@@ -2359,11 +2405,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_scan": q_bucket_scan,
     "httpscan_matrix": q_httpscan_matrix,
     # -- [4] rotated-out oracle greens (pytest + in-window sibling) --
-    # report_wordlist rotated out r4 to make room for wordlist_showfile
-    # (window stays exactly 50 oracle-backed): green r1-r3, sibling
-    # sort_wordlist_topk exercises the same words+agg machinery
-    # in-window, and the report suite covers it in pytest
+    # report_wordlist and dedup_keep_best rotated out r4 to make room
+    # for wordlist_showfile + wordlist_full (window stays exactly 50
+    # oracle-backed): both green r1-r3; report_wordlist's sibling
+    # sort_wordlist_topk and dedup_keep_best's window-rank sibling
+    # top_parts_per_brand stay in-window, and pytest covers both
+    # (report suite / test_queries_oracle over ALL oracle keys)
     "report_wordlist": q_report_wordlist,
+    "dedup_keep_best": q_dedup_keep_best,
     "union_extractors": q_union_extractors,
     "salted_agg_two_level": q_salted_agg_two_level,
     "rollup_lineitem": q_rollup_lineitem,
@@ -2428,6 +2477,7 @@ ORACLES: dict[str, str] = {
     "cosine_near_dup_lsh": SQL_COSINE_NEAR_DUP_LSH,
     "wordlist_mutator": SQL_WORDLIST_MUTATOR,
     "wordlist_showfile": SQL_WORDLIST_SHOWFILE,
+    "wordlist_full": SQL_WORDLIST_FULL,
     "fuzzer_generate": _sql_fuzzer(),
     "fuzzer_random": _sql_fuzzer_random(),
     # crawl_e2e / multimodal_decode / ann_lsh_topk / dns_sweep /

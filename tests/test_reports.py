@@ -302,6 +302,35 @@ def test_tag_with_file_reference_semantics(spark):
     ]
 
 
+def test_create_wordlist_composed_semantics(spark):
+    """createWordList end-to-end (mainWordlist.go:62-103): the mutator
+    runs on the TAGGED keys (file tag torn into \\w+ runs and joined
+    into username variants), only mutator output survives, and
+    templates substitute the FIRST <word> occurrence only."""
+    from nightcrawlercmd_spark.operators.textops import create_wordlist
+
+    docs = spark.createDataFrame(
+        [("Alpha beta", "f1")], "text string, source string"
+    )
+    got = [
+        r["entry"]
+        for r in create_wordlist(
+            docs,
+            extractor="word",
+            file_col="source",
+            mutator="username",
+            templates=["<word>", "x<word>y<word>"],
+        ).collect()
+    ]
+    # variants of 'alpha [f1]' ∪ 'beta [f1]' (8 each, 'f1' shared) = 15
+    assert len(got) == 30 and got == sorted(got) and len(set(got)) == 30
+    assert "alpha" in got          # dropped-word abbrev re-emits the word
+    assert "alpha_f1" in got       # the file tag joins into the variant
+    assert "af1" in got and "f1" in got
+    assert "xalphaf1y<word>" in got  # first <word> only; second literal
+    assert not any(e != e.lower() for e in got)
+
+
 def test_unquoted_attribute_values():
     """Legal unquoted href/src/attr values (<a href=/about>) extract
     like quoted ones (goquery parses both); the quoted form still
