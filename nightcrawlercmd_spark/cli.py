@@ -1,0 +1,437 @@
+"""Reference-compatible subcommand CLI (``python -m nightcrawlercmd_spark``).
+
+The reference binary dispatches ``ncrawler <subcommand> -flags``
+(/root/reference/main.go); this module exposes the same ten
+subcommands over the Spark engine so a reference user can switch
+command-for-command. Flags keep the reference's single-dash spellings
+(``-url``, ``-max-pages``, ``-show-file-name``, …). Each handler is a
+thin composition of the package's operators — no logic lives here —
+and prints one JSON summary line.
+
+A live SparkSession is reused when present (tests, notebooks);
+otherwise one is created via ``session.get_spark`` (``-cpus``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from .session import get_spark
+
+    return get_spark(cpus=getattr(args, "cpus", None))
+
+
+def _read_words(spark, path):
+    """Wordlist file → DataFrame(word) — one word per line, like
+    crawlbase.ReadWordlist."""
+    from pyspark.sql import functions as F
+
+    return spark.read.text(path).select(F.col("value").alias("word"))
+
+
+# ---------------------------------------------------------- handlers ----
+
+
+def cmd_crawler(args) -> dict:
+    """mainCrawler.go flags → EngineConfig. ``-url``/``-url-list`` seed
+    the frontier; the deterministic world responder stands in for the
+    network (``fetch.HttpFetcher`` + ``-http-endpoint`` for real HTTP)."""
+    import tempfile
+
+    from .sources.corpus import WorldConfig
+    from .streaming.engine import CrawlEngine, EngineConfig
+
+    spark = _spark(args)
+    seeds_path = None
+    tmp = None
+    if args.url_list:
+        from pyspark.sql import functions as F
+
+        tmp = tempfile.mkdtemp(prefix="ncs_cli_seeds_")
+        seeds_path = os.path.join(tmp, "seeds.parquet")
+        spark.read.text(args.url_list).select(
+            F.col("value").alias("url")
+        ).write.mode("overwrite").parquet(seeds_path)
+    elif args.url:
+        import pandas as pd
+
+        tmp = tempfile.mkdtemp(prefix="ncs_cli_seeds_")
+        seeds_path = os.path.join(tmp, "seeds.parquet")
+        spark.createDataFrame(pd.DataFrame({"url": [args.url]})).write.mode(
+            "overwrite"
+        ).parquet(seeds_path)
+    cfg = EngineConfig(
+        state_dir=args.storage_path,
+        world=WorldConfig(
+            n_hosts=args.world_hosts, base_pages=args.world_pages, tag=args.world_tag
+        ),
+        seeds_path=seeds_path,
+        scope_seed_hosts=args.scoped_to_domain,
+        max_rounds=args.max_rounds,
+        max_pages=args.max_pages,
+        no_new_links=args.no_new_links,
+        load_resources=args.load_resources,
+        follow=args.follow or None,
+        dont_follow=args.dont_follow or None,
+        http_endpoint=args.http_endpoint,
+    )
+    stats = CrawlEngine(spark, cfg).run()
+    return {"fetched_total": stats["fetched_total"], "rounds": stats["rounds"]}
+
+
+def cmd_report(args) -> dict:
+    """mainReport.go: read a crawl's page store, write the six-report
+    suite as ';'-CSV into ``-reportsfolder`` (O8)."""
+    from .plans.reports import run_report_suite
+    from .sources.tableio import StateStore
+
+    spark = _spark(args)
+    store = StateStore(args.storage_path)
+    last = store.last_round()
+    pages = (
+        store.read_appends(spark, "pages", last) if last is not None else None
+    )
+    if pages is None:
+        return {"error": "no committed pages in " + args.storage_path}
+    out = run_report_suite(pages, out_dir=args.reportsfolder)
+    return {"reports": sorted(out), "pages": pages.count()}
+
+
+def cmd_wordlist(args) -> dict:
+    """mainWordlist.go end-to-end via textops.create_wordlist: whole
+    files in (``wholetext`` — extractors span lines like the
+    reference's ReadFile), sorted deduped entries out."""
+    from pyspark.sql import functions as F
+
+    from .operators.textops import create_wordlist
+
+    spark = _spark(args)
+    docs = (
+        spark.read.text(args.input, wholetext=True, recursiveFileLookup=True)
+        .select(
+            F.col("value").alias("text"),
+            F.input_file_name().alias("source"),
+        )
+    )
+    templates = None
+    if args.template:
+        with open(args.template) as fh:
+            templates = fh.read().split("\n")
+    entries = create_wordlist(
+        docs,
+        extractor=args.extractor,
+        file_col="source" if args.show_file_name else None,
+        mutator=args.mutator or None,
+        templates=templates,
+    )
+    with open(args.output, "w") as fh:  # driver sink, like the reference
+        n = 0
+        for row in entries.toLocalIterator():
+            fh.write(row["entry"] + "\n")
+            n += 1
+    return {"output": args.output, "entries": n}
+
+
+def cmd_dns(args) -> dict:
+    """mainDNS.go: wordlist × domain sweep, optional resume log and
+    XLSX report (O9/O15/O46/O58/O65)."""
+    from pyspark.sql import functions as F
+
+    from .sources.connectors import simulate_dns_sweep
+    from .sources.httppipe import write_xlsx
+
+    spark = _spark(args)
+    words = _read_words(spark, args.wordlist)
+    history = None
+    if args.resume and args.log and os.path.exists(args.log):
+        history = spark.read.text(args.log).select(F.col("value").alias("name"))
+    dns_type = args.typeNumber if args.typeNumber is not None else args.typeName
+    out = simulate_dns_sweep(spark, words, args.domain, history, dns_type=dns_type)
+    rows = out.collect()
+    names = {r["name"] for r in rows}
+    found = sorted({r["name"] for r in rows if r["found"]})
+    if args.log:
+        with open(args.log, "a") as fh:
+            for n in found:
+                fh.write(n + "\n")
+    if args.report:
+        write_xlsx(out, args.report, sheet_name="DNS")
+    # a found name can carry several answer records (explode_outer),
+    # so rows ≥ names; the log gets each found NAME once
+    return {"swept": len(names), "rows": len(rows),
+            "found": len(found), "report": args.report}
+
+
+def cmd_portscan(args) -> dict:
+    """mainPortScan.go: range or ``-portlist`` probe; ``-show-closed``
+    keeps refused ports in the output (O14/O45)."""
+    from .sources.connectors import simulate_port_scan
+
+    spark = _spark(args)
+    out = simulate_port_scan(
+        spark,
+        args.target,
+        start=args.start,
+        end=args.end,
+        port_list=args.portlist,
+        show_closed=args.show_closed,
+    ).collect()
+    for r in out:
+        print(f"{args.target}:{r['port']} "
+              + ("open" if r["open"] else f"closed ({r['error']})"))
+    return {"target": args.target, "probed": len(out),
+            "open": sum(1 for r in out if r["open"])}
+
+
+def cmd_bucketscan(args) -> dict:
+    """mainBucketScan.go: words × provider templates; the provider
+    config carries the reference BucketInfo shape (Name/Urls/
+    NoSuchBucket/AccessDenied); ``-prefix`` is the ``{w}`` template
+    (``-splitter`` is dead in the reference — '.' is hardcoded)."""
+    from .sources.connectors import bucket_scan
+
+    spark = _spark(args)
+    with open(args.config) as fh:
+        buckets = json.load(fh)
+    chosen = [b for b in buckets if b["Name"] == args.provider]
+    if not chosen:
+        return {"error": f"provider {args.provider} not found"}
+    urls = [args.url] if args.url else chosen[0]["Urls"]
+    providers = spark.createDataFrame(
+        [
+            (
+                chosen[0]["Name"],
+                "https://" + args.prefix + "." + u,
+                int(chosen[0]["NoSuchBucket"]),
+                int(chosen[0]["AccessDenied"]),
+            )
+            for u in urls
+        ],
+        "name string, url_template string, not_found_code int, denied_code int",
+    )
+    words = _read_words(spark, args.wordlist)
+    rows = bucket_scan(spark, words, providers, provider_filter=args.filter).collect()
+    hits = [r for r in rows if r["result"] != "not found"]
+    for r in hits:
+        print(r["url"], r["result"])
+    return {"probed": len(rows), "hits": len(hits)}
+
+
+def cmd_httpscan(args) -> dict:
+    """mainHttpScan.go: probe matrix × vectors over ``-url`` or an
+    ``-input`` URL file; HTML report like the reference template
+    (O10/O35/O55-O57)."""
+    import pandas as pd
+
+    from .plans.httpscan import render_html, run_scan
+
+    spark = _spark(args)
+    if args.input:
+        from pyspark.sql import functions as F
+
+        urls = spark.read.text(args.input).select(F.col("value").alias("url"))
+    else:
+        urls = spark.createDataFrame(pd.DataFrame({"url": [args.url]}))
+    res = run_scan(spark, urls, scan_headers=args.scanheader)
+    rows = [r.asDict() for r in res.collect()]
+    if args.report:
+        with open(args.report, "w") as fh:
+            fh.write(render_html(rows))
+    return {"probes": len(rows),
+            "found": sum(1 for r in rows if r.get("found")),
+            "report": args.report}
+
+
+def cmd_fuzzer(args) -> dict:
+    """mainFuzzer.go: seeded deterministic generation from the
+    FuzzingInput config (Vectors/BuildLogic/Seed/Iterations, O79);
+    random-key mode when BuildLogic is empty."""
+    from .operators import fuzzing
+
+    spark = _spark(args)
+    with open(args.input) as fh:
+        fi = json.load(fh)
+    kw = dict(
+        iterations=int(fi.get("Iterations", 1000)),
+        seed=int(fi.get("Seed", fuzzing.DEFAULT_SEED)),
+        vectors=fi.get("Vectors"),
+    )
+    vecs = fi.get("Vectors") or {}
+    # BuildLogic mode needs the url grammar's four classes (empty
+    # Vectors falls back to the package defaults, which have them);
+    # anything else — the reference ships arbitrary class names like
+    # "7"/"b" — runs the random-key mode over the same vector map
+    classes_ok = not vecs or not (
+        {"scheme", "host", "path", "payload"} - set(vecs)
+    )
+    if fi.get("BuildLogic") and classes_ok:
+        out = fuzzing.generate(spark, **kw)
+    else:
+        out = fuzzing.generate_random(spark, **kw)
+    case_col = "fuzz_url" if "fuzz_url" in out.columns else "fuzz_text"
+    rows = out.collect()
+    if args.output:
+        with open(args.output, "w") as fh:
+            for r in rows:
+                fh.write(r[case_col] + "\n")
+    return {"cases": len(rows), "output": args.output}
+
+
+def cmd_httppipe(args) -> dict:
+    """mainHttpPipe.go: parse a raw HTTP request file; fire it over a
+    real socket when ``-host`` is given (O7), optional XLSX out."""
+    from .sources.httppipe import parse_raw_request, pipe_request, write_xlsx
+
+    with open(args.input) as fh:
+        req = parse_raw_request(fh.read(), default_host=args.host or "localhost")
+    summary = {"method": req.method, "path": req.path, "host": req.host}
+    if args.host:
+        resp = pipe_request(req, args.host)
+        summary["status"] = resp["status_code"]
+        if args.output:
+            spark = _spark(args)
+            flat = [
+                (resp["status_code"], resp["url"], len(resp["body"] or b""))
+            ]
+            write_xlsx(
+                spark.createDataFrame(
+                    flat, "status_code int, url string, body_len int"
+                ),
+                args.output,
+                sheet_name="Pipe",
+            )
+    return summary
+
+
+def cmd_httpserver(args) -> dict:
+    """mainHttpServer.go: serve ``-folder`` statically on ``-listen``
+    (stdlib handler; the package's WorldHTTPServer remains the
+    virtual-hosted fixture for crawl tests). Blocks until killed;
+    ``-one-request`` exits after a single request (tests)."""
+    import functools
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    host, _, port = args.listen.rpartition(":")
+    handler = functools.partial(
+        SimpleHTTPRequestHandler, directory=args.folder
+    )
+    srv = ThreadingHTTPServer((host or "127.0.0.1", int(port)), handler)
+    print(json.dumps({"listening": f"{srv.server_address[0]}:{srv.server_address[1]}",
+                      "folder": args.folder}), flush=True)
+    if args.one_request:
+        srv.handle_request()
+    else:  # pragma: no cover - interactive serve loop
+        srv.serve_forever()
+    srv.server_close()
+    return {"served": True}
+
+
+# ---------------------------------------------------------- dispatch ----
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="nightcrawlercmd_spark")
+    ap.add_argument("-cpus", default=None, help="local[N] when no session is live")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawler")
+    c.add_argument("-url", default=None)
+    c.add_argument("-url-list", dest="url_list", default=None)
+    c.add_argument("-storage-path", dest="storage_path", required=True)
+    c.add_argument("-max-pages", dest="max_pages", type=int, default=None)
+    c.add_argument("-max-rounds", dest="max_rounds", type=int, default=16)
+    c.add_argument("-no-new-links", dest="no_new_links", action="store_true")
+    c.add_argument("-load-resources", dest="load_resources", action="store_true")
+    c.add_argument("-scoped-to-domain", dest="scoped_to_domain", action="store_true")
+    c.add_argument("-follow", action="append", default=[])
+    c.add_argument("-dont-follow", dest="dont_follow", action="append", default=[])
+    c.add_argument("-http-endpoint", dest="http_endpoint", default=None)
+    c.add_argument("-world-hosts", dest="world_hosts", type=int, default=10)
+    c.add_argument("-world-pages", dest="world_pages", type=int, default=10)
+    c.add_argument("-world-tag", dest="world_tag", default="cli")
+    c.set_defaults(fn=cmd_crawler)
+
+    r = sub.add_parser("report")
+    r.add_argument("-storage-path", dest="storage_path", required=True)
+    r.add_argument("-reportsfolder", default=None)
+    r.set_defaults(fn=cmd_report)
+
+    w = sub.add_parser("wordlist")
+    w.add_argument("-input", required=True)
+    w.add_argument("-output", default="wordlist.txt")
+    w.add_argument("-extractor", default="word")
+    w.add_argument("-mutator", default="")
+    w.add_argument("-template", default=None)
+    w.add_argument("-show-file-name", dest="show_file_name", action="store_true")
+    w.set_defaults(fn=cmd_wordlist)
+
+    d = sub.add_parser("dns")
+    d.add_argument("-domain", required=True)
+    d.add_argument("-wordlist", required=True)
+    d.add_argument("-typeName", default="A")
+    d.add_argument("-typeNumber", type=int, default=None)
+    d.add_argument("-resume", action="store_true")
+    d.add_argument("-log", default=None)
+    d.add_argument("-report", default=None)
+    d.set_defaults(fn=cmd_dns)
+
+    p = sub.add_parser("portscan")
+    p.add_argument("-target", required=True)
+    p.add_argument("-start", type=int, default=79)
+    p.add_argument("-end", type=int, default=81)
+    p.add_argument("-portlist", default=None)
+    p.add_argument("-show-closed", dest="show_closed", action="store_true")
+    p.set_defaults(fn=cmd_portscan)
+
+    b = sub.add_parser("bucketscan")
+    b.add_argument("-wordlist", required=True)
+    b.add_argument("-provider", default="aws")
+    b.add_argument("-prefix", default="{w}")
+    b.add_argument("-config", required=True)
+    b.add_argument("-filter", default=None)
+    b.add_argument("-url", default=None)
+    b.set_defaults(fn=cmd_bucketscan)
+
+    h = sub.add_parser("httpscan")
+    h.add_argument("-url", default=None)
+    h.add_argument("-input", default=None)
+    h.add_argument("-scanheader", action="store_true")
+    h.add_argument("-report", default=None)
+    h.set_defaults(fn=cmd_httpscan)
+
+    f = sub.add_parser("fuzzer")
+    f.add_argument("-input", required=True)
+    f.add_argument("-output", default=None)
+    f.set_defaults(fn=cmd_fuzzer)
+
+    pp = sub.add_parser("httppipe")
+    pp.add_argument("-input", required=True)
+    pp.add_argument("-host", default=None)
+    pp.add_argument("-scheme", default="http")
+    pp.add_argument("-output", default=None)
+    pp.set_defaults(fn=cmd_httppipe)
+
+    hs = sub.add_parser("httpserver")
+    hs.add_argument("-folder", default=".")
+    hs.add_argument("-listen", default="127.0.0.1:0")
+    hs.add_argument("-one-request", dest="one_request", action="store_true")
+    hs.set_defaults(fn=cmd_httpserver)
+
+    return ap
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv if argv is not None else sys.argv[1:])
+    out = args.fn(args)
+    print(json.dumps(out))
+    return out
