@@ -78,7 +78,9 @@ def cmd_crawler(args) -> dict:
         seeds_path=seeds_path,
         scope_seed_hosts=args.scoped_to_domain,
         max_rounds=args.max_rounds,
-        max_pages=args.max_pages,
+        # reference default/sentinel: -1 = infinite (mainCrawler.go:46)
+        max_pages=None if args.max_pages is None or args.max_pages < 0
+        else args.max_pages,
         no_new_links=args.no_new_links,
         load_resources=args.load_resources,
         follow=args.follow or None,
@@ -155,7 +157,9 @@ def cmd_dns(args) -> dict:
     history = None
     if args.resume and args.log and os.path.exists(args.log):
         history = spark.read.text(args.log).select(F.col("value").alias("name"))
-    dns_type = args.typeNumber if args.typeNumber is not None else args.typeName
+    # reference precedence (mainDNS.go:44-55): a non-empty -typeName
+    # OVERRIDES -typeNumber (whose default is 1/A)
+    dns_type = args.typeName if args.typeName else args.typeNumber
     out = simulate_dns_sweep(spark, words, args.domain, history, dns_type=dns_type)
     rows = out.collect()
     names = {r["name"] for r in rows}
@@ -168,8 +172,8 @@ def cmd_dns(args) -> dict:
         write_xlsx(out, args.report, sheet_name="DNS")
     # a found name can carry several answer records (explode_outer),
     # so rows ≥ names; the log gets each found NAME once
-    return {"swept": len(names), "rows": len(rows),
-            "found": len(found), "report": args.report}
+    return {"swept": len(names), "rows": len(rows), "found": len(found),
+            "type": dns_type, "report": args.report}
 
 
 def cmd_portscan(args) -> dict:
@@ -229,19 +233,27 @@ def cmd_bucketscan(args) -> dict:
 
 def cmd_httpscan(args) -> dict:
     """mainHttpScan.go: probe matrix × vectors over ``-url`` or an
-    ``-input`` URL file; HTML report like the reference template
-    (O10/O35/O55-O57)."""
+    ``-input`` RAW REQUEST file (getRequest, mainHttpScan.go:243 —
+    same contract as httppipe, not a URL list); ``-scheme`` sets the
+    scheme like the reference flag. HTML report like the reference
+    template (O10/O35/O55-O57)."""
     import pandas as pd
 
     from .plans.httpscan import render_html, run_scan
 
     spark = _spark(args)
     if args.input:
-        from pyspark.sql import functions as F
+        from .sources.httppipe import parse_raw_request
 
-        urls = spark.read.text(args.input).select(F.col("value").alias("url"))
-    else:
+        with open(args.input) as fh:
+            req = parse_raw_request(fh.read())
+        host = req.headers.get("host", "localhost")
+        url = f"{args.scheme or 'http'}://{host}{req.path}"
+        urls = spark.createDataFrame(pd.DataFrame({"url": [url]}))
+    elif args.url:
         urls = spark.createDataFrame(pd.DataFrame({"url": [args.url]}))
+    else:
+        raise SystemExit("httpscan: need -url or -input")
     res = run_scan(spark, urls, scan_headers=args.scanheader)
     rows = [r.asDict() for r in res.collect()]
     if args.report:
@@ -294,9 +306,10 @@ def cmd_httppipe(args) -> dict:
 
     with open(args.input) as fh:
         req = parse_raw_request(fh.read(), default_host=args.host or "localhost")
-    summary = {"method": req.method, "path": req.path, "host": req.host}
+    summary = {"method": req.method, "path": req.path,
+               "host": req.headers.get("host")}
     if args.host:
-        resp = pipe_request(req, args.host)
+        resp = pipe_request(req, args.host, scheme=args.scheme)
         summary["status"] = resp["status_code"]
         if args.output:
             spark = _spark(args)
@@ -339,6 +352,10 @@ def cmd_httpserver(args) -> dict:
 # ---------------------------------------------------------- dispatch ----
 
 
+def _parse_bool(s: str) -> bool:
+    return s.strip().lower() not in ("false", "0", "f", "no")
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="nightcrawlercmd_spark")
     ap.add_argument("-cpus", default=None, help="local[N] when no session is live")
@@ -348,11 +365,17 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-url", default=None)
     c.add_argument("-url-list", dest="url_list", default=None)
     c.add_argument("-storage-path", dest="storage_path", required=True)
-    c.add_argument("-max-pages", dest="max_pages", type=int, default=None)
+    # -1 = infinite, the reference default (mainCrawler.go:46)
+    c.add_argument("-max-pages", dest="max_pages", type=int, default=-1)
     c.add_argument("-max-rounds", dest="max_rounds", type=int, default=16)
     c.add_argument("-no-new-links", dest="no_new_links", action="store_true")
     c.add_argument("-load-resources", dest="load_resources", action="store_true")
-    c.add_argument("-scoped-to-domain", dest="scoped_to_domain", action="store_true")
+    # reference DEFAULT is true (mainCrawler.go:54) — Go users disable
+    # with `-scoped-to-domain=false`; accept an optional bool value
+    c.add_argument(
+        "-scoped-to-domain", dest="scoped_to_domain",
+        nargs="?", const=True, default=True, type=_parse_bool,
+    )
     c.add_argument("-follow", action="append", default=[])
     c.add_argument("-dont-follow", dest="dont_follow", action="append", default=[])
     c.add_argument("-http-endpoint", dest="http_endpoint", default=None)
@@ -363,7 +386,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("report")
     r.add_argument("-storage-path", dest="storage_path", required=True)
-    r.add_argument("-reportsfolder", default=None)
+    # reference default: always writes ./report (mainReport.go)
+    r.add_argument("-reportsfolder", default="./report")
     r.set_defaults(fn=cmd_report)
 
     w = sub.add_parser("wordlist")
@@ -378,10 +402,12 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("dns")
     d.add_argument("-domain", required=True)
     d.add_argument("-wordlist", required=True)
-    d.add_argument("-typeName", default="A")
-    d.add_argument("-typeNumber", type=int, default=None)
+    # reference defaults (mainDNS.go:31-34): typeName EMPTY (typeNumber
+    # 1/A applies unless a name is given), log always dnsscan.log
+    d.add_argument("-typeName", default="")
+    d.add_argument("-typeNumber", type=int, default=1)
     d.add_argument("-resume", action="store_true")
-    d.add_argument("-log", default=None)
+    d.add_argument("-log", default="dnsscan.log")
     d.add_argument("-report", default=None)
     d.set_defaults(fn=cmd_dns)
 
@@ -404,7 +430,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     h = sub.add_parser("httpscan")
     h.add_argument("-url", default=None)
-    h.add_argument("-input", default=None)
+    h.add_argument("-input", default=None, help="raw HTTP request file")
+    h.add_argument("-scheme", default="")
     h.add_argument("-scanheader", action="store_true")
     h.add_argument("-report", default=None)
     h.set_defaults(fn=cmd_httpscan)

@@ -180,9 +180,17 @@ WITH toks AS (
   UNION ALL SELECT prev || rest FROM multi
 ), vk AS (SELECT DISTINCT u FROM variants),
 tpl AS (SELECT unnest(['<word>', 'adm-<word>-x']) AS t)
-SELECT DISTINCT lower(trim(replace(t, '<word>', u))) AS entry
-FROM vk CROSS JOIN tpl
-WHERE length(lower(trim(replace(t, '<word>', u)))) > 0
+SELECT DISTINCT entry FROM (
+  -- FIRST-occurrence substitution, like the engine's _replace_first
+  -- (strings.Replace count 1): a second '<word>' marker must stay
+  -- literal; DuckDB's replace() rewrites every occurrence
+  SELECT lower(trim(
+    CASE WHEN strpos(t, '<word>') > 0
+         THEN substr(t, 1, strpos(t, '<word>') - 1) || u
+              || substr(t, strpos(t, '<word>') + 6)
+         ELSE t END)) AS entry
+  FROM vk CROSS JOIN tpl
+) WHERE length(entry) > 0
 ORDER BY entry
 """
 

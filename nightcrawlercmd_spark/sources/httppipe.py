@@ -55,19 +55,33 @@ def parse_raw_request(text: str, default_host: str = "localhost") -> RawRequest:
     return RawRequest(method=method, path=path, version=version, headers=headers, body=body)
 
 
-def pipe_request(req: RawRequest, endpoint: str, timeout: float = 30.0) -> dict:
+def pipe_request(
+    req: RawRequest, endpoint: str, timeout: float = 30.0, scheme: str = "http"
+) -> dict:
     """Fire a parsed raw request at a real endpoint (reference
     mainHttpPipe.go:63: the read request goes straight to
     ``http.DefaultClient.Do``). ``endpoint`` is ``host:port`` of the
     actual socket (e.g. a WorldHTTPServer); the request's Host header
     does the virtual-host routing, like the reference's
     ``req.URL.Host = req.Host`` default (mainHttpPipe.go:91-99).
-    Returns {status_code, headers, body, url}. Redirects are NOT
-    followed — the raw response comes back, matching ``resp.Write``."""
+    ``scheme`` mirrors the reference ``-scheme`` flag
+    (mainHttpPipe.go:50-52): ``https`` opens a TLS connection with
+    verification off, like the reference's global
+    ``InsecureSkipVerify`` transport. Returns {status_code, headers,
+    body, url}. Redirects are NOT followed — the raw response comes
+    back, matching ``resp.Write``."""
     import http.client
 
     host, port = endpoint.rsplit(":", 1)
-    conn = http.client.HTTPConnection(host, int(port), timeout=timeout)
+    if scheme == "https":
+        import ssl
+
+        conn = http.client.HTTPSConnection(
+            host, int(port), timeout=timeout,
+            context=ssl._create_unverified_context(),
+        )
+    else:
+        conn = http.client.HTTPConnection(host, int(port), timeout=timeout)
     try:
         headers = dict(req.headers)
         body = req.body.encode() if req.body else None

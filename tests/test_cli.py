@@ -60,6 +60,7 @@ def test_cli_dns_resume_and_xlsx(spark, tmp_path):
     res1 = main(["dns", "-domain", "ex.test", "-wordlist", str(wl),
                  "-log", str(log), "-report", str(rep)])
     assert res1["swept"] == 4
+    assert res1["type"] == 1  # reference default: typeNumber 1 (A)
     assert zipfile.is_zipfile(rep)  # real SpreadsheetML package
     logged = log.read_text().splitlines()
     assert len(logged) == res1["found"] > 0
@@ -67,6 +68,12 @@ def test_cli_dns_resume_and_xlsx(spark, tmp_path):
     res2 = main(["dns", "-domain", "ex.test", "-wordlist", str(wl),
                  "-resume", "-log", str(log)])
     assert res2["swept"] == 4 - res1["found"]
+    # reference precedence (mainDNS.go:44-55): a non-empty -typeName
+    # OVERRIDES -typeNumber
+    res3 = main(["dns", "-domain", "ex.test", "-wordlist", str(wl),
+                 "-typeName", "MX", "-typeNumber", "28",
+                 "-log", str(tmp_path / "other.log")])
+    assert res3["type"] == "MX"
 
 
 def test_cli_bucketscan_reference_config(spark, tmp_path, capsys):
@@ -93,13 +100,59 @@ def test_cli_httpscan_html_report(spark, tmp_path):
     assert res["probes"] > 0
     html = rep.read_text()
     assert html.startswith("<html>") and "<table>" in html
+    # -input is a RAW REQUEST file (getRequest, mainHttpScan.go:243),
+    # not a URL list: the scanned URL derives from its host + path
+    reqf = tmp_path / "req.txt"
+    reqf.write_text("GET /a/b?key=1 HTTP/1.1\nHost: raw.test\n\n")
+    res2 = main(["httpscan", "-input", str(reqf)])
+    assert res2["probes"] > 0
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["httpscan"])  # need -url or -input
+
+
+def test_cli_httppipe_parse_and_httpserver(tmp_path):
+    """httppipe parse-only summary, and the static httpserver serving
+    a folder for exactly one request (reference mainHttpServer.go)."""
+    import threading
+    import urllib.request
+
+    reqf = tmp_path / "req.txt"
+    reqf.write_text("GET /x?a=1 HTTP/1.1\nHost: pipe.test\n\n")
+    res = main(["httppipe", "-input", str(reqf)])
+    assert res == {"method": "GET", "path": "/x?a=1", "host": "pipe.test"}
+
+    (tmp_path / "hello.txt").write_text("served")
+    got = {}
+
+    def serve():
+        got.update(main(["httpserver", "-folder", str(tmp_path),
+                         "-listen", "127.0.0.1:18473", "-one-request"]))
+
+    t = threading.Thread(target=serve)
+    t.start()
+    import time
+
+    for _ in range(50):
+        try:
+            body = urllib.request.urlopen(
+                "http://127.0.0.1:18473/hello.txt", timeout=2
+            ).read()
+            break
+        except OSError:
+            time.sleep(0.1)
+    t.join(timeout=10)
+    assert body == b"served" and got == {"served": True}
 
 
 def test_cli_crawler_then_report(spark, tmp_path):
     state = tmp_path / "state"
+    # scoping defaults ON like the reference (mainCrawler.go:54) and
+    # -max-pages defaults to the -1 infinite sentinel — both omitted
     res = main(["crawler", "-storage-path", str(state), "-max-rounds", "3",
-                "-max-pages", "30", "-world-hosts", "4", "-world-pages", "8",
-                "-world-tag", "cli-t", "-scoped-to-domain"])
+                "-world-hosts", "4", "-world-pages", "8",
+                "-world-tag", "cli-t"])
     assert res["fetched_total"] > 0
     reports = tmp_path / "reports"
     rep = main(["report", "-storage-path", str(state),
