@@ -51,49 +51,66 @@ def cmd_crawler(args) -> dict:
     from .sources.corpus import WorldConfig
     from .streaming.engine import CrawlEngine, EngineConfig
 
+    import shutil
+
     spark = _spark(args)
     seeds_path = None
     tmp = None
-    if args.url_list:
-        from pyspark.sql import functions as F
+    try:
+        if args.url_list:
+            from pyspark.sql import functions as F
 
-        tmp = tempfile.mkdtemp(prefix="ncs_cli_seeds_")
-        seeds_path = os.path.join(tmp, "seeds.parquet")
-        spark.read.text(args.url_list).select(
-            F.col("value").alias("url")
-        ).write.mode("overwrite").parquet(seeds_path)
-    elif args.url:
-        import pandas as pd
+            tmp = tempfile.mkdtemp(prefix="ncs_cli_seeds_")
+            seeds_path = os.path.join(tmp, "seeds.parquet")
+            spark.read.text(args.url_list).select(
+                F.col("value").alias("url")
+            ).write.mode("overwrite").parquet(seeds_path)
+        elif args.url:
+            import pandas as pd
 
-        tmp = tempfile.mkdtemp(prefix="ncs_cli_seeds_")
-        seeds_path = os.path.join(tmp, "seeds.parquet")
-        spark.createDataFrame(pd.DataFrame({"url": [args.url]})).write.mode(
-            "overwrite"
-        ).parquet(seeds_path)
-    cfg = EngineConfig(
-        state_dir=args.storage_path,
-        world=WorldConfig(
-            n_hosts=args.world_hosts, base_pages=args.world_pages, tag=args.world_tag
-        ),
-        seeds_path=seeds_path,
-        scope_seed_hosts=args.scoped_to_domain,
-        max_rounds=args.max_rounds,
-        # reference default/sentinel: -1 = infinite (mainCrawler.go:46)
-        max_pages=None if args.max_pages is None or args.max_pages < 0
-        else args.max_pages,
-        no_new_links=args.no_new_links,
-        load_resources=args.load_resources,
-        follow=args.follow or None,
-        dont_follow=args.dont_follow or None,
-        http_endpoint=args.http_endpoint,
-    )
-    stats = CrawlEngine(spark, cfg).run()
-    return {"fetched_total": stats["fetched_total"], "rounds": stats["rounds"]}
+            tmp = tempfile.mkdtemp(prefix="ncs_cli_seeds_")
+            seeds_path = os.path.join(tmp, "seeds.parquet")
+            spark.createDataFrame(pd.DataFrame({"url": [args.url]})).write.mode(
+                "overwrite"
+            ).parquet(seeds_path)
+        cfg = EngineConfig(
+            state_dir=args.storage_path,
+            world=WorldConfig(
+                n_hosts=args.world_hosts, base_pages=args.world_pages,
+                tag=args.world_tag,
+            ),
+            seeds_path=seeds_path,
+            scope_seed_hosts=args.scoped_to_domain,
+            max_rounds=args.max_rounds,
+            # reference default/sentinel: -1 = infinite (mainCrawler.go:46)
+            max_pages=None if args.max_pages is None or args.max_pages < 0
+            else args.max_pages,
+            no_new_links=args.no_new_links,
+            load_resources=args.load_resources,
+            follow=args.follow or None,
+            dont_follow=args.dont_follow or None,
+            http_endpoint=args.http_endpoint,
+            # -wait (mainCrawler.go:45, WaitBetweenRequests ms) maps to
+            # the engine's per-host fallback budget/round — politeness
+            # is rate-shaped here, not sleep-shaped (corpus.py:96-99);
+            # anchored so the reference default 500 ms keeps the
+            # engine default budget of 4 (≈ a 2 s round)
+            default_budget=max(1, round(2000 / max(1, args.wait))),
+        )
+        stats = CrawlEngine(spark, cfg).run()
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return {"fetched_total": stats["fetched_total"], "rounds": stats["rounds"],
+            "wait_ms": args.wait}
 
 
 def cmd_report(args) -> dict:
-    """mainReport.go: read a crawl's page store, write the six-report
-    suite as ';'-CSV into ``-reportsfolder`` (O8)."""
+    """mainReport.go: read a crawl's page store, write the report suite
+    as ';'-CSV into ``-reportsfolder`` (O8). ``-tagsfile`` swaps the
+    HTML-validation ruleset (mainReport.go:59); wordlist.csv is gated
+    behind ``-wordlist`` like the reference (mainReport.go:58,
+    default FALSE — genReportWordlist only runs when set)."""
     from .plans.reports import run_report_suite
     from .sources.tableio import StateStore
 
@@ -105,8 +122,15 @@ def cmd_report(args) -> dict:
     )
     if pages is None:
         return {"error": "no committed pages in " + args.storage_path}
-    out = run_report_suite(pages, out_dir=args.reportsfolder)
-    return {"reports": sorted(out), "pages": pages.count()}
+    out = run_report_suite(
+        pages,
+        out_dir=args.reportsfolder,
+        ruleset_path=args.tagsfile,
+        include_wordlist=args.wordlist,
+    )
+    # fetched_total comes from the commit meta — no extra count job
+    return {"reports": sorted(out),
+            "pages": store.meta(last).get("fetched_total")}
 
 
 def cmd_wordlist(args) -> dict:
@@ -156,7 +180,16 @@ def cmd_dns(args) -> dict:
     words = _read_words(spark, args.wordlist)
     history = None
     if args.resume and args.log and os.path.exists(args.log):
-        history = spark.read.text(args.log).select(F.col("value").alias("name"))
+        # readReport (mainDNS.go:69-84): the history key is the FIRST
+        # whitespace/tab token of each log line. Only NOT-FOUND lines
+        # (`word.domain.`) ever match filterLines' name keys — found
+        # lines are answer records (addresses/targets), so a resumed
+        # sweep skips previously-scanned MISSES, not hits (ADVICE r4)
+        history = spark.read.text(args.log).select(
+            F.split(F.split(F.trim(F.col("value")), "\t").getItem(0), " ")
+            .getItem(0)
+            .alias("name")
+        )
     # reference precedence (mainDNS.go:44-55): a non-empty -typeName
     # OVERRIDES -typeNumber (whose default is 1/A)
     dns_type = args.typeName if args.typeName else args.typeNumber
@@ -164,14 +197,20 @@ def cmd_dns(args) -> dict:
     rows = out.collect()
     names = {r["name"] for r in rows}
     found = sorted({r["name"] for r in rows if r["found"]})
-    if args.log:
-        with open(args.log, "a") as fh:
-            for n in found:
-                fh.write(n + "\n")
     if args.report:
+        # dnsReportExcel path: XLSX only, NO log write (mainDNS.go:100-104)
         write_xlsx(out, args.report, sheet_name="DNS")
+    elif args.log:
+        # dnsReport path (mainDNS.go:138-155): found ANSWER records plus
+        # not-found NAMES (`word.domain.`) — the latter are what a later
+        # -resume parses back as its skip set
+        entries = sorted(r["entry"] for r in rows if r["found"] and r["entry"])
+        notfound = sorted({r["name"] for r in rows if not r["found"]})
+        with open(args.log, "a") as fh:
+            for line in entries + notfound:
+                fh.write(line + "\n")
     # a found name can carry several answer records (explode_outer),
-    # so rows ≥ names; the log gets each found NAME once
+    # so rows ≥ names
     return {"swept": len(names), "rows": len(rows), "found": len(found),
             "type": dns_type, "report": args.report}
 
@@ -211,6 +250,12 @@ def cmd_bucketscan(args) -> dict:
     if not chosen:
         return {"error": f"provider {args.provider} not found"}
     urls = [args.url] if args.url else chosen[0]["Urls"]
+    if args.filter:
+        # the reference filters the provider's BARE url suffixes, not
+        # the assembled https://{prefix}.{suffix} template
+        # (mainBucketScan.go:100-102) — matching on the template made
+        # e.g. `-filter https` match everything (ADVICE r4)
+        urls = [u for u in urls if args.filter in u]
     providers = spark.createDataFrame(
         [
             (
@@ -224,7 +269,7 @@ def cmd_bucketscan(args) -> dict:
         "name string, url_template string, not_found_code int, denied_code int",
     )
     words = _read_words(spark, args.wordlist)
-    rows = bucket_scan(spark, words, providers, provider_filter=args.filter).collect()
+    rows = bucket_scan(spark, words, providers).collect()
     hits = [r for r in rows if r["result"] != "not found"]
     for r in hits:
         print(r["url"], r["result"])
@@ -234,9 +279,16 @@ def cmd_bucketscan(args) -> dict:
 def cmd_httpscan(args) -> dict:
     """mainHttpScan.go: probe matrix × vectors over ``-url`` or an
     ``-input`` RAW REQUEST file (getRequest, mainHttpScan.go:243 —
-    same contract as httppipe, not a URL list); ``-scheme`` sets the
-    scheme like the reference flag. HTML report like the reference
-    template (O10/O35/O55-O57)."""
+    same contract as httppipe, not a URL list); ``-scheme``/``-host``
+    override scheme and host like getRequest does. ``-vectors`` loads a
+    custom attack-vector file (reference JSON shape: Vector/Test/
+    Section; mainHttpScan.go:67,94-97); ``-output`` dumps each probe's
+    response body into the folder (mainHttpScan.go:194-199, O12 —
+    file names are deterministic probe hashes rather than wall-clock
+    UnixNano, so runs are reproducible). HTML report like the
+    reference template, default report.html (O10/O35/O55-O57)."""
+    from urllib.parse import urlsplit, urlunsplit
+
     import pandas as pd
 
     from .plans.httpscan import render_html, run_scan
@@ -247,21 +299,46 @@ def cmd_httpscan(args) -> dict:
 
         with open(args.input) as fh:
             req = parse_raw_request(fh.read())
-        host = req.headers.get("host", "localhost")
+        host = args.host or req.headers.get("host", "localhost")
         url = f"{args.scheme or 'http'}://{host}{req.path}"
-        urls = spark.createDataFrame(pd.DataFrame({"url": [url]}))
     elif args.url:
-        urls = spark.createDataFrame(pd.DataFrame({"url": [args.url]}))
+        url = args.url
+        if args.host or args.scheme:
+            parts = urlsplit(url)
+            url = urlunsplit((
+                args.scheme or parts.scheme, args.host or parts.netloc,
+                parts.path, parts.query, parts.fragment,
+            ))
     else:
         raise SystemExit("httpscan: need -url or -input")
-    res = run_scan(spark, urls, scan_headers=args.scanheader)
+    urls = spark.createDataFrame(pd.DataFrame({"url": [url]}))
+    vectors = None
+    if args.vectors:
+        from .plans.httpscan import load_vectors
+
+        vectors = load_vectors(spark, args.vectors)
+    res = run_scan(
+        spark, urls, scan_headers=args.scanheader, vectors=vectors,
+        keep_body=bool(args.output),
+    )
     rows = [r.asDict() for r in res.collect()]
+    dumped = 0
+    if args.output:
+        from .functions.determinism import h64
+
+        os.makedirs(args.output, exist_ok=True)
+        for r in rows:
+            name = str(h64("dump", r["url"], r["kind"], r["target"], r["vector"]))
+            with open(os.path.join(args.output, name), "w") as fh:
+                fh.write(r.pop("body") or "")
+            r["file_path"] = os.path.join(args.output, name)
+            dumped += 1
     if args.report:
         with open(args.report, "w") as fh:
             fh.write(render_html(rows))
     return {"probes": len(rows),
             "found": sum(1 for r in rows if r.get("found")),
-            "report": args.report}
+            "report": args.report, "dumped": dumped}
 
 
 def cmd_fuzzer(args) -> dict:
@@ -291,8 +368,44 @@ def cmd_fuzzer(args) -> dict:
     else:
         out = fuzzing.generate_random(spark, **kw)
     case_col = "fuzz_url" if "fuzz_url" in out.columns else "fuzz_text"
-    rows = out.collect()
+    # generation order is the `id` column — the action stage must see
+    # payloads in reference iteration order regardless of partitioning
+    rows = out.orderBy("id").collect()
+    if args.command:
+        # action stage (mainFuzzer.go:49-66): per iteration, write the
+        # payload to -output (when set), substitute EVERY occurrence of
+        # -param in each trailing-argv element with the payload
+        # (strings.Replace n=-1), exec the command, stop consuming on
+        # failure like the reference's `return false`. A driver-side
+        # subprocess per payload — the same real-side-effect class as
+        # pipe_request's socket; the payload STREAM stays distributed.
+        import subprocess
+
+        ran = failed = 0
+        for r in rows:
+            payload = r[case_col]
+            if args.output:
+                try:
+                    with open(args.output, "w") as fh:
+                        fh.write(payload)
+                except OSError:
+                    failed += 1
+                    continue
+            argv = [
+                a.replace(args.param, payload) if args.param else a
+                for a in args.command
+            ]
+            try:
+                subprocess.run(argv, check=True)
+                ran += 1
+            except (OSError, subprocess.CalledProcessError):
+                failed += 1
+        return {"cases": len(rows), "ran": ran, "failed": failed,
+                "output": args.output}
     if args.output:
+        # no command: keep the whole generated stream (one case per
+        # line) — a deliberate divergence from the reference, whose
+        # no-command invocation panics on args[0] (mainFuzzer.go:62)
         with open(args.output, "w") as fh:
             for r in rows:
                 fh.write(r[case_col] + "\n")
@@ -301,11 +414,17 @@ def cmd_fuzzer(args) -> dict:
 
 def cmd_httppipe(args) -> dict:
     """mainHttpPipe.go: parse a raw HTTP request file; fire it over a
-    real socket when ``-host`` is given (O7), optional XLSX out."""
+    real socket when ``-host`` is given (O7), optional XLSX out.
+    Repeated ``-H "Key: Value"`` SET (replace) headers after parsing,
+    like the reference's header loop (mainHttpPipe.go:53-60); a
+    colon-less value sets the header to the empty string."""
     from .sources.httppipe import parse_raw_request, pipe_request, write_xlsx
 
     with open(args.input) as fh:
         req = parse_raw_request(fh.read(), default_host=args.host or "localhost")
+    for header in args.headers:
+        k, _, v = header.partition(":")
+        req.headers[k.strip().lower()] = v.strip()
     summary = {"method": req.method, "path": req.path,
                "host": req.headers.get("host")}
     if args.host:
@@ -382,12 +501,21 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-world-hosts", dest="world_hosts", type=int, default=10)
     c.add_argument("-world-pages", dest="world_pages", type=int, default=10)
     c.add_argument("-world-tag", dest="world_tag", default="cli")
+    # reference politeness flag (mainCrawler.go:45): ms between
+    # requests, default 500 — mapped to budget/round in cmd_crawler
+    c.add_argument("-wait", type=int, default=500)
     c.set_defaults(fn=cmd_crawler)
 
     r = sub.add_parser("report")
     r.add_argument("-storage-path", dest="storage_path", required=True)
     # reference default: always writes ./report (mainReport.go)
     r.add_argument("-reportsfolder", default="./report")
+    # custom HTML-validation ruleset; None = package default
+    # (reference default ./config/tags.json, mainReport.go:59)
+    r.add_argument("-tagsfile", default=None)
+    # wordlist.csv only under -wordlist, reference default FALSE
+    # (mainReport.go:58)
+    r.add_argument("-wordlist", action="store_true")
     r.set_defaults(fn=cmd_report)
 
     w = sub.add_parser("wordlist")
@@ -426,19 +554,35 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("-config", required=True)
     b.add_argument("-filter", default=None)
     b.add_argument("-url", default=None)
+    # accepted for drop-in compatibility (mainBucketScan.go:43,45);
+    # the engine probes in parallel batches, not with per-request
+    # sleeps, and prints hits unconditionally — both are no-ops here
+    b.add_argument("-delay", type=int, default=100)
+    b.add_argument("-verbose", type=int, default=0)
     b.set_defaults(fn=cmd_bucketscan)
 
     h = sub.add_parser("httpscan")
     h.add_argument("-url", default=None)
     h.add_argument("-input", default=None, help="raw HTTP request file")
+    h.add_argument("-host", default=None)
     h.add_argument("-scheme", default="")
     h.add_argument("-scanheader", action="store_true")
-    h.add_argument("-report", default=None)
+    # the reference ALWAYS writes the HTML report, default report.html
+    # (mainHttpScan.go:66) — a None default silently dropped it
+    h.add_argument("-report", default="report.html")
+    # custom attack-vector file (mainHttpScan.go:67); None = built-ins
+    h.add_argument("-vectors", default=None)
+    # per-probe response-body dump folder (mainHttpScan.go:70,194-199)
+    h.add_argument("-output", default=None)
     h.set_defaults(fn=cmd_httpscan)
 
     f = sub.add_parser("fuzzer")
     f.add_argument("-input", required=True)
     f.add_argument("-output", default=None)
+    # -param + trailing argv: the per-iteration action stage
+    # (mainFuzzer.go:31,49-66)
+    f.add_argument("-param", default="")
+    f.add_argument("command", nargs=argparse.REMAINDER)
     f.set_defaults(fn=cmd_fuzzer)
 
     pp = sub.add_parser("httppipe")
@@ -446,6 +590,8 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("-host", default=None)
     pp.add_argument("-scheme", default="http")
     pp.add_argument("-output", default=None)
+    # repeated header overrides (mainHttpPipe.go:37,53-60)
+    pp.add_argument("-H", dest="headers", action="append", default=[])
     pp.set_defaults(fn=cmd_httppipe)
 
     hs = sub.add_parser("httpserver")

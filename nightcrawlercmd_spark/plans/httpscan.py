@@ -40,15 +40,42 @@ def vectors_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def load_vectors(spark: SparkSession, path: str) -> DataFrame:
+    """Custom attack-vector file → vector dim, accepting the reference
+    config shape — a JSON array of {Vector, Test, SQLInjection,
+    Section} objects (mainHttpScan.go:40-45,94-97; SQLInjection is dead
+    in the reference scan loop, ignored here too). Lower-case keys are
+    accepted so a dumped vectors_df round-trips."""
+    import json
+
+    with open(path) as fh:
+        raw = json.load(fh)
+    rows = [
+        {
+            "vector": v.get("Vector", v.get("vector", "")),
+            "test": v.get("Test", v.get("test")) or None,
+            "section": v.get("Section", v.get("section")) or None,
+        }
+        for v in raw
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows), schema="vector string, test string, section string"
+    )
+
+
 def probe_matrix(
-    spark: SparkSession, urls: DataFrame, scan_headers: bool = False
+    spark: SparkSession,
+    urls: DataFrame,
+    scan_headers: bool = False,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """urls(url string) × vectors → one probe per (url part, vector).
 
     Three branches (O55 params, O56 headers, O57 path segments), each a
     cross join against the broadcast vector dim; section filter O49.
-    """
-    vecs = F.broadcast(vectors_df(spark))
+    ``vectors`` swaps in a custom dim (the reference ``-vectors`` file,
+    load_vectors) — same (vector, test, section) schema."""
+    vecs = F.broadcast(vectors if vectors is not None else vectors_df(spark))
     # fragment cut FIRST (Go url.Parse order, like host_of_col/
     # path_of_col): a '#' before the '?' means the '?' is inside the
     # fragment and there is NO query ('/p#f?x=1' → RawQuery ""), and a
@@ -123,13 +150,20 @@ def probe_matrix(
 
 
 def run_scan(
-    spark: SparkSession, urls: DataFrame, scan_headers: bool = False
+    spark: SparkSession,
+    urls: DataFrame,
+    scan_headers: bool = False,
+    vectors: DataFrame | None = None,
+    keep_body: bool = False,
 ) -> DataFrame:
     """Probe the matrix with the deterministic responder; flag bodies
     containing the vector's test string (O35: instr(body, test) > 0).
     ``scan_headers`` mirrors the reference's `-scanheader` CLI default
-    (off, mainHttpScan.go:69)."""
-    matrix = probe_matrix(spark, urls, scan_headers=scan_headers)
+    (off, mainHttpScan.go:69); ``vectors`` a custom dim (`-vectors`);
+    ``keep_body`` adds the response body column for the `-output`
+    per-probe dump (mainHttpScan.go:194-199) — off by default so the
+    report path never collects bodies."""
+    matrix = probe_matrix(spark, urls, scan_headers=scan_headers, vectors=vectors)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -171,6 +205,7 @@ def run_scan(
         "target",
         "vector",
         "duration_ms",
+        *(["body"] if keep_body else []),
         # O35 fallback: the reference substitutes Vector whenever Test
         # is the EMPTY STRING (mainHttpScan.go:185-188; 20/28 shipped
         # vectors have Test "") — coalesce alone would pass '' through

@@ -2350,7 +2350,19 @@ FROM documents GROUP BY 1
 # union_extractors↔wordlist_extractors). Every oracle-backed query has
 # a green driver row in round 3 or this rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- [1] oracle-backed, never driver-verified: run these first ----
+    # -- [1] r4-rotated-out oracle greens returning to the window ----
+    # (VERDICT r4 item 6: every oracle-backed query green within the
+    # last two rounds) — their r1-r3 rows are the oldest, so they run
+    # first this round
+    "report_wordlist": q_report_wordlist,
+    "dedup_keep_best": q_dedup_keep_best,
+    "union_extractors": q_union_extractors,
+    "salted_agg_two_level": q_salted_agg_two_level,
+    "rollup_lineitem": q_rollup_lineitem,
+    "global_topk_two_level": q_global_topk_two_level,
+    "stratified_sample": q_stratified_sample,
+    "pricing_summary": q_pricing_summary,
+    # -- [2] oracle-backed (all green r4) -----------------------------
     "wordlist_showfile": q_wordlist_showfile,
     "wordlist_full": q_wordlist_full,
     "wordlist_mutator": q_wordlist_mutator,
@@ -2359,22 +2371,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
     "fuzzer_generate": q_fuzzer_generate,
     "fuzzer_random": q_fuzzer_random,
-    # -- [2] oracle-backed ------------------------------------------
     "report_query_keys": q_report_query_keys,
-    "sort_wordlist_topk": q_sort_wordlist_topk,
     "slice_cap": q_slice_cap,
-    "wordlist_extractors": q_wordlist_extractors,
     "anti_join_resume": q_anti_join_resume,
     "cross_join_templates": q_cross_join_templates,
     "filtered_enqueue": q_filtered_enqueue,
     "window_dequeue": q_window_dequeue,
     "status_classify": q_status_classify,
-    "conditional_agg_events": q_conditional_agg_events,
-    "join_orders_customers": q_join_orders_customers,
-    "top_parts_per_brand": q_top_parts_per_brand,
-    "salted_join_skew": q_salted_join_skew,
     "shipping_priority": q_shipping_priority,
-    "cube_orders": q_cube_orders,
     "sessionize_events": q_sessionize_events,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -2390,7 +2394,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_filter": q_repetition_filter,
     "contamination_overlap": q_contamination_overlap,
-    "sample_hash_mod": q_sample_hash_mod,
     "pack_sequences": q_pack_sequences,
     "pmi_bigrams": q_pmi_bigrams,
     "asof_attribution": q_asof_attribution,
@@ -2413,20 +2416,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_scan": q_bucket_scan,
     "httpscan_matrix": q_httpscan_matrix,
     # -- [4] rotated-out oracle greens (pytest + in-window sibling) --
-    # report_wordlist and dedup_keep_best rotated out r4 to make room
-    # for wordlist_showfile + wordlist_full (window stays exactly 50
-    # oracle-backed): both green r1-r3; report_wordlist's sibling
-    # sort_wordlist_topk and dedup_keep_best's window-rank sibling
-    # top_parts_per_brand stay in-window, and pytest covers both
-    # (report suite / test_queries_oracle over ALL oracle keys)
-    "report_wordlist": q_report_wordlist,
-    "dedup_keep_best": q_dedup_keep_best,
-    "union_extractors": q_union_extractors,
-    "salted_agg_two_level": q_salted_agg_two_level,
-    "rollup_lineitem": q_rollup_lineitem,
-    "global_topk_two_level": q_global_topk_two_level,
-    "stratified_sample": q_stratified_sample,
-    "pricing_summary": q_pricing_summary,
+    # all eight are green in CORRECTNESS_r04; each keeps an in-window
+    # sibling exercising the same machinery (sort_wordlist_topk↔
+    # report_wordlist, wordlist_extractors↔union_extractors,
+    # top_parts_per_brand↔global_topk_two_level+dedup_keep_best
+    # (window ranks), cube_orders↔rollup_lineitem, salted_join_skew↔
+    # salted_agg_two_level, sample_hash_mod↔stratified_sample,
+    # conditional_agg_events↔pricing_summary, join_orders_customers↔
+    # shipping_priority (superset join)) and pytest covers every
+    # oracle pair (test_queries_oracle runs ALL oracle keys)
+    "sort_wordlist_topk": q_sort_wordlist_topk,
+    "wordlist_extractors": q_wordlist_extractors,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "cube_orders": q_cube_orders,
+    "salted_join_skew": q_salted_join_skew,
+    "sample_hash_mod": q_sample_hash_mod,
+    "conditional_agg_events": q_conditional_agg_events,
+    "join_orders_customers": q_join_orders_customers,
 }
 
 ORACLES: dict[str, str] = {

@@ -225,18 +225,28 @@ def allurls(reports: DataFrame) -> DataFrame:
     )
 
 
-def run_report_suite(pages: DataFrame, out_dir: str | None = None) -> dict[str, DataFrame]:
+def run_report_suite(
+    pages: DataFrame,
+    out_dir: str | None = None,
+    ruleset_path: str | None = None,
+    include_wordlist: bool = True,
+) -> dict[str, DataFrame]:
     """One scan, six outputs (optionally written as ';'-CSV like the
-    reference, O8). Returns the DataFrames keyed by report name."""
-    reports = page_reports(pages).persist()
+    reference, O8). Returns the DataFrames keyed by report name.
+    ``ruleset_path`` is the reference ``-tagsfile`` (custom HTML
+    validation ruleset); ``include_wordlist=False`` mirrors the
+    reference CLI's default, where wordlist.csv only exists under
+    ``-wordlist`` (mainReport.go:58,262)."""
+    reports = page_reports(pages, ruleset_path=ruleset_path).persist()
     out = {
         "crawledurls": crawledurls(pages),
         "querykeys": querykeys(reports),
         "invalidtags": invalidtags(reports),
-        "wordlist": wordlist(reports),
         "formtags": formtags(reports),
         "allurls": allurls(reports),
     }
+    if include_wordlist:
+        out["wordlist"] = wordlist(reports)
     if out_dir:
         for name, df in out.items():
             (

@@ -21,6 +21,7 @@ only piece that would change.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -123,6 +124,95 @@ class StateStore:
         return sorted(
             int(p[len(pref):]) for p in os.listdir(d) if p.startswith(pref)
         )
+
+    # ---- key-bucketed tables (Iceberg bucket-transform analog) -----------
+
+    def _table_ident(self, name: str, round_no: int) -> str:
+        """Session-catalog identifier for a key-bucketed round table —
+        salted with the store root so two StateStores in one session
+        (tests, A/B runs) never collide."""
+        digest = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:10]
+        return f"ncs_{digest}_{name}_r{round_no}"
+
+    def write_keyed_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        round_no: int,
+        key_cols: list[str],
+        n_key_buckets: int,
+        bucket_col: str = "sbucket",
+    ) -> list[int]:
+        """``write_bucketed`` plus Spark data-source bucketing on
+        ``key_cols`` (the Iceberg ``bucket(N, key)`` transform analog):
+        each ``bucket_col`` partition dir holds ``n_key_buckets``
+        key-hash-clustered, key-sorted files, and the session catalog
+        records the bucket spec. A downstream equi-join on exactly
+        ``key_cols`` then reads this table with
+        ``HashPartitioning(key_cols, N)`` satisfied FROM STORAGE — the
+        storage-partitioned join the 10^10-row seen probe needs: zero
+        Exchange on this side regardless of the other side's size.
+
+        The files are plain parquet in the same ``<name>/round=K/
+        <bucket_col>=B/`` layout, so ``read_buckets`` (and any plain
+        ``spark.read.parquet``) keeps working for consumers that don't
+        need the partitioning, and the commit-marker crash protocol is
+        unchanged — the table is still an immutable per-round snapshot.
+        Returns the bucket ids actually written, like write_bucketed."""
+        d = self._dir(name, round_no)
+        spark = df.sparkSession
+        ident = self._table_ident(name, round_no)
+        # a crashed earlier attempt may have left a catalog entry with a
+        # stale schema/spec; overwrite-through-drop keeps this idempotent
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        (
+            df.write.mode("overwrite")
+            .partitionBy(bucket_col)
+            .bucketBy(n_key_buckets, *key_cols)
+            .sortBy(*key_cols)
+            .option("path", d)
+            .saveAsTable(ident)
+        )
+        pref = bucket_col + "="
+        return sorted(
+            int(p[len(pref):]) for p in os.listdir(d) if p.startswith(pref)
+        )
+
+    def read_keyed_bucketed(
+        self,
+        spark: SparkSession,
+        name: str,
+        round_no: int,
+        key_cols: list[str],
+        n_key_buckets: int,
+        bucket_col: str = "sbucket",
+    ) -> DataFrame:
+        """Catalog-table scan of a ``write_keyed_bucketed`` round. The
+        bucket spec lives only in the session catalog (parquet footers
+        carry no bucketing metadata), so on a fresh session (resume)
+        the table is re-registered over the existing files with the
+        SAME spec — ``key_cols``/``n_key_buckets`` come from the
+        caller's commit meta, never guessed, because registering a
+        wrong modulus would make the storage-partitioned join silently
+        co-partition misplaced rows and drop matches."""
+        ident = self._table_ident(name, round_no)
+        if not spark.catalog.tableExists(ident):
+            d = self._dir(name, round_no)
+            sample = spark.read.parquet(d)
+            data_cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in sample.schema.fields
+                if f.name != bucket_col
+            )
+            keys = ", ".join(f"`{k}`" for k in key_cols)
+            spark.sql(
+                f"CREATE TABLE {ident} ({data_cols}, `{bucket_col}` INT) "
+                f"USING parquet PARTITIONED BY (`{bucket_col}`) "
+                f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+                f"INTO {n_key_buckets} BUCKETS LOCATION '{d}'"
+            )
+            spark.sql(f"MSCK REPAIR TABLE {ident}")
+        return spark.table(ident)
 
     def read_buckets(
         self,

@@ -214,6 +214,20 @@ class EngineConfig:
     # 0 disables; the threshold bounds the broadcast build
     # (~100 B/row → default ≈ 20 MB).
     suspect_broadcast_max: int = 200_000
+    # storage-partitioned exact probe (VERDICT r4 item 1 — the last
+    # shuffle seam): seen_base fold rounds are written as Spark
+    # bucketed tables CLUSTERED BY (url_hash, canon_url) INTO this
+    # many key-hash buckets per sbucket dir (Iceberg bucket-transform
+    # analog, tableio.write_keyed_bucketed). The LARGE-suspect exact
+    # anti-join then chains one LEFT ANTI per fold round, each with
+    # HashPartitioning satisfied from storage — the 10^10-row history
+    # side carries ZERO Exchange in every regime (small suspect sets
+    # were already covered by the broadcast-inverted form; only the
+    # round-scale survivor set reshuffles, once). 0 = legacy plain
+    # layout. Not pinned: each fold round records its own value in
+    # commit meta and readers use the recorded one, so config changes
+    # apply to future folds only.
+    seen_key_buckets: int = 32
     # incremental seen compaction (seen analog of the pending knobs
     # above): a compaction folds only sbuckets whose unfolded delta
     # exceeds dirty_frac of their base rows; max_lag bounds how far a
@@ -263,6 +277,27 @@ def seen_anti_join(suspects: DataFrame, seen: DataFrame, invert: bool) -> DataFr
         F.broadcast(suspects.select(*_SEEN_KEY)), _SEEN_KEY, "left_semi"
     )
     return suspects.join(F.broadcast(confirmed), _SEEN_KEY, "left_anti")
+
+
+def seen_anti_join_parts(suspects: DataFrame, parts: list[DataFrame]) -> DataFrame:
+    """Chained exact probe for the LARGE-suspect regime:
+    ``anti(S, ∪ parts) ≡ anti(…anti(anti(S, p1), p2)…, pn)`` (LEFT ANTI
+    distributes over the right side's union and keeps left multiplicity
+    throughout), so instead of unioning the seen side — which erases
+    storage partitioning and forces the whole history through an
+    Exchange — each part is probed on its own. Keyed base parts
+    (tableio.read_keyed_bucketed) arrive with
+    ``HashPartitioning(url_hash, canon_url, K)`` satisfied from
+    storage: the SortMergeJoin shuffles ONLY the suspect side, once —
+    its output keeps that partitioning, so the chain's later joins add
+    no further suspect-side Exchange either. Delta parts are
+    round-scale on both sides. Net shuffled bytes per round: O(round),
+    never O(history), even when the suspect set is too large for the
+    broadcast-inverted form."""
+    out = suspects
+    for p in parts:
+        out = out.join(p.select(*_SEEN_KEY), _SEEN_KEY, "left_anti")
+    return out
 
 
 def robots_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
@@ -691,29 +726,8 @@ class CrawlEngine:
         )
         if base is not None:
             parts.append(base.select(*SEEN_COLS))
-        lo = min(folded.values(), default=upto_round)
-        uniform = len(set(folded.values())) <= 1
-        adds = []
-        for j in range(max(lo + 1, 0), upto_round + 1):
-            if self.store.exists("seen", j):
-                d = self.store.read_snapshot(self.spark, "seen", j)
-                adds.append(d if uniform else d.withColumn("__dr", F.lit(j)))
-        if adds:
-            add = adds[0]
-            for p in adds[1:]:
-                add = add.unionByName(p)
-            if bucket_filter is not None or not uniform:
-                add = add.withColumn("__sb", self._sbucket(F.col("url_hash")))
-            if bucket_filter is not None:
-                add = add.filter(F.col("__sb").isin(sorted(bucket_filter)))
-            if not uniform:
-                wm = self.spark.createDataFrame(
-                    [(int(b), int(v)) for b, v in sorted(folded.items())],
-                    "__sb int, __folded int",
-                )
-                add = add.join(F.broadcast(wm), "__sb", "left").filter(
-                    F.col("__dr") > F.coalesce(F.col("__folded"), F.lit(-1))
-                )
+        add = self._seen_unfolded_delta(folded, upto_round, bucket_filter)
+        if add is not None:
             parts.append(add.select(*SEEN_COLS))
         if not parts:
             return self.spark.createDataFrame(
@@ -725,6 +739,92 @@ class CrawlEngine:
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def _seen_unfolded_delta(
+        self,
+        folded: dict[int, int],
+        upto_round: int,
+        bucket_filter: list[int] | None,
+    ) -> DataFrame | None:
+        """Union of the UNFOLDED seen-delta rounds — each bucket's
+        deltas strictly after its fold watermark, bucket-filtered when
+        asked. Shared by the unioned read (_read_seen) and the
+        storage-partitioned parts read (_read_seen_parts) so the two
+        assemble byte-identical delta windows."""
+        lo = min(folded.values(), default=upto_round)
+        uniform = len(set(folded.values())) <= 1
+        adds = []
+        for j in range(max(lo + 1, 0), upto_round + 1):
+            if self.store.exists("seen", j):
+                d = self.store.read_snapshot(self.spark, "seen", j)
+                adds.append(d if uniform else d.withColumn("__dr", F.lit(j)))
+        if not adds:
+            return None
+        add = adds[0]
+        for p in adds[1:]:
+            add = add.unionByName(p)
+        if bucket_filter is not None or not uniform:
+            add = add.withColumn("__sb", self._sbucket(F.col("url_hash")))
+        if bucket_filter is not None:
+            add = add.filter(F.col("__sb").isin(sorted(bucket_filter)))
+        if not uniform:
+            wm = self.spark.createDataFrame(
+                [(int(b), int(v)) for b, v in sorted(folded.items())],
+                "__sb int, __folded int",
+            )
+            add = add.join(F.broadcast(wm), "__sb", "left").filter(
+                F.col("__dr") > F.coalesce(F.col("__folded"), F.lit(-1))
+            )
+        return add
+
+    def _read_seen_parts(
+        self, upto_round: int, bucket_filter: list[int] | None = None
+    ) -> list[DataFrame] | None:
+        """Storage-partitioned form of _read_seen for the LARGE-suspect
+        exact probe (VERDICT r4 item 1 — the last shuffle seam): one
+        DataFrame per fold round whose base dirs are still current,
+        each a catalog bucketed-table scan (tableio.read_keyed_bucketed)
+        carrying HashPartitioning(url_hash, canon_url) FROM STORAGE,
+        plus one round-scale unfolded-delta part. Fed to
+        seen_anti_join_parts the 10^10-row history side then joins with
+        ZERO Exchange — only the round's suspect set reshuffles, once.
+        Returns None when any referenced base round predates the keyed
+        layout (seen_key_buckets=0 at its fold time, or a pre-keyed
+        store) — callers fall back to the unioned read + plain probe.
+
+        Each round's scan is filtered to the manifest's buckets for
+        that round even without a caller filter: an sbucket refolded at
+        a later round leaves its stale dir in the earlier round's path,
+        and the manifest — not the directory listing — is the truth."""
+        state = self._seen_state_of(self.store.meta(upto_round))
+        if state is None:
+            return None
+        manifest, folded, _ = state
+        if bucket_filter is not None:
+            bf = set(bucket_filter)
+            manifest = {b: v for b, v in manifest.items() if b in bf}
+            folded = {b: v for b, v in folded.items() if b in bf}
+        by_round: dict[int, list[int]] = {}
+        for b, rr in manifest.items():
+            by_round.setdefault(int(rr), []).append(int(b))
+        parts = []
+        for rr in sorted(by_round):
+            layout = self.store.meta(rr).get("seen_base_layout") or {}
+            kb = int(layout.get("key_buckets") or 0)
+            if not kb:
+                return None  # plain/mixed layout → unioned read path
+            base = self.store.read_keyed_bucketed(
+                self.spark, "seen_base", rr, list(_SEEN_KEY), kb,
+                bucket_col="sbucket",
+            )
+            parts.append(
+                base.filter(F.col("sbucket").isin(sorted(by_round[rr])))
+                .select(*_SEEN_KEY)
+            )
+        add = self._seen_unfolded_delta(folded, upto_round, bucket_filter)
+        if add is not None:
+            parts.append(add.select(*_SEEN_KEY))
+        return parts
 
     def _read_seen_legacy(
         self, upto_round: int, bucket_filter: list[int] | None = None
@@ -802,6 +902,33 @@ class CrawlEngine:
         rows = df.groupBy("__sb").count().collect()
         return {int(x["__sb"]): int(x["count"]) for x in rows}
 
+    def _write_seen_base(self, assembled: DataFrame, r: int) -> list[int]:
+        """Write a fold round's seen base. Keyed layout
+        (cfg.seen_key_buckets > 0, the default): a Spark bucketed table
+        CLUSTERED BY (url_hash, canon_url) — the Iceberg
+        bucket(N, key) transform analog — so the large-suspect exact
+        probe joins it with zero seen-side Exchange
+        (tableio.write_keyed_bucketed). The pre-write repartition uses
+        the SAME (key, N) hash partitioning as the bucket spec, so each
+        write task holds exactly one key-bucket: one file per
+        (sbucket, key-bucket) pair instead of tasks × buckets."""
+        cfg = self.cfg
+        if cfg.seen_key_buckets:
+            return self.store.write_keyed_bucketed(
+                assembled.repartition(cfg.seen_key_buckets, *_SEEN_KEY),
+                "seen_base",
+                r,
+                list(_SEEN_KEY),
+                cfg.seen_key_buckets,
+                bucket_col="sbucket",
+            )
+        return self.store.write_bucketed(
+            assembled.repartition(cfg.fetch_tasks, "sbucket", "url_hash"),
+            "seen_base",
+            r,
+            bucket_col="sbucket",
+        )
+
     def _maybe_compact_seen(self, r: int) -> dict:
         """Every K rounds, fold ONLY the sbuckets whose unfolded delta
         exceeds ``seen_compact_dirty_frac`` of their base rows (or whose
@@ -839,12 +966,7 @@ class CrawlEngine:
             assembled = full.withColumn(
                 "sbucket", self._sbucket(F.col("url_hash"))
             ).persist()
-            written = store.write_bucketed(
-                assembled.repartition(cfg.fetch_tasks, "sbucket", "url_hash"),
-                "seen_base",
-                r,
-                bucket_col="sbucket",
-            )
+            written = self._write_seen_base(assembled, r)
             counts = {
                 int(x["sbucket"]): int(x["count"])
                 for x in assembled.groupBy("sbucket").count().collect()
@@ -855,6 +977,7 @@ class CrawlEngine:
                 "seen_folded": {b: r for b in range(self._sb_mod())},
                 "seen_bucket_rows": counts,
                 "seen_base_round": r,
+                "seen_base_layout": {"key_buckets": cfg.seen_key_buckets},
                 "seen_rewritten": sum(counts.values()),
             }
         manifest, folded, brows = ({**d} for d in state)
@@ -888,12 +1011,7 @@ class CrawlEngine:
                 .withColumn("sbucket", self._sbucket(F.col("url_hash")))
                 .persist()
             )
-            written = store.write_bucketed(
-                assembled.repartition(cfg.fetch_tasks, "sbucket", "url_hash"),
-                "seen_base",
-                r,
-                bucket_col="sbucket",
-            )
+            written = self._write_seen_base(assembled, r)
             counts = {
                 int(x["sbucket"]): int(x["count"])
                 for x in assembled.groupBy("sbucket").count().collect()
@@ -912,6 +1030,14 @@ class CrawlEngine:
             "seen_folded": folded,
             "seen_bucket_rows": brows,
             "seen_base_round": base_round,
+            # recorded ONLY on rounds that wrote a base: _read_seen_parts
+            # looks the layout up per manifest round, so a config change
+            # applies to future folds without invalidating old bases
+            **(
+                {"seen_base_layout": {"key_buckets": cfg.seen_key_buckets}}
+                if fold_set
+                else {}
+            ),
             # O(dirty-buckets) evidence, seen analog of pending_rewritten
             "seen_rewritten": sum(counts.values()) if fold_set else 0,
         }
@@ -1243,6 +1369,7 @@ class CrawlEngine:
             link_src = pages.filter(F.col("status_code").between(300, 307))
         cands = enqueue_rows(link_src, self.robots, scope_hosts, r)
         invert = False  # whether the exact probe ran broadcast-inverted
+        probe_parts = False  # whether it ran storage-partitioned (keyed bases)
         if cfg.use_bloom:
             # persist: the bloom split consumes `tagged` twice (fresh +
             # suspects) — without the cache the extract/dedupe pipeline
@@ -1267,13 +1394,33 @@ class CrawlEngine:
             # just becomes a suspect and resolves in the exact probe).
             if fetched_total >= cfg.seen_prune_min_total:
                 sb_counts = self._suspect_bucket_counts(raw_suspects)
-                seen = self._read_seen(r - 1, bucket_filter=sorted(sb_counts))
+                bf = sorted(sb_counts)
                 invert = (
                     0 < sum(sb_counts.values()) <= cfg.suspect_broadcast_max
                 )
             else:
-                seen = self._read_seen(r - 1)
-            suspects = seen_anti_join(raw_suspects, seen, invert)
+                bf = None
+            if invert:
+                seen = self._read_seen(r - 1, bucket_filter=bf)
+                suspects = seen_anti_join(raw_suspects, seen, True)
+            else:
+                # LARGE-suspect regime: probe each storage-bucketed base
+                # part on its own (seen_anti_join_parts) — the history
+                # side carries zero Exchange; only the suspect set
+                # reshuffles, once. Falls back to the unioned read +
+                # plain anti-join on pre-keyed layouts or when the
+                # keyed layout is disabled (seen_key_buckets=0).
+                parts = (
+                    self._read_seen_parts(r - 1, bucket_filter=bf)
+                    if cfg.seen_key_buckets
+                    else None
+                )
+                if parts is not None:
+                    suspects = seen_anti_join_parts(raw_suspects, parts)
+                    probe_parts = True
+                else:
+                    seen = self._read_seen(r - 1, bucket_filter=bf)
+                    suspects = seen_anti_join(raw_suspects, seen, False)
             new = fresh.unionByName(suspects)
         else:
             tagged = None
@@ -1491,6 +1638,9 @@ class CrawlEngine:
             # whether the exact seen probe ran as the shuffle-free
             # broadcast-inverted join this round (small suspect set)
             "seen_probe_inverted": invert,
+            # large-suspect regime ran the zero-history-Exchange
+            # storage-partitioned chain (VERDICT r4 item 1)
+            "seen_probe_parts": probe_parts,
             "stop": n_pending == 0,
         }
 
@@ -1540,7 +1690,8 @@ class CrawlEngine:
                  "seen_rewritten": out.get("seen_rewritten"),
                  "pending_buckets_read": out.get("pending_buckets_read"),
                  "prune_fallback": out.get("prune_fallback"),
-                 "seen_probe_inverted": out.get("seen_probe_inverted")}
+                 "seen_probe_inverted": out.get("seen_probe_inverted"),
+                 "seen_probe_parts": out.get("seen_probe_parts")}
             )
             stats["rounds"] = r
             if out.get("stop"):

@@ -292,3 +292,63 @@ def test_seen_anti_join_invert_is_shuffle_free(spark):
                           (7, "http://h.test/", "h.test")]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_keyed_seen_base_anti_join_zero_history_exchange(spark, tmp_path):
+    """The LARGE-suspect exact probe (VERDICT r4 item 1 — the last
+    shuffle seam): a seen_base fold written as a key-bucketed table
+    (tableio.write_keyed_bucketed, the Iceberg bucket(N, key) transform
+    analog) must join with its HashPartitioning satisfied FROM STORAGE.
+    With auto-broadcast off (the regime a 10^10-row history is always
+    in), the executed plan must contain EXACTLY ONE hash Exchange — the
+    suspect side — and a bucketed file scan: zero Exchange on the
+    history side. Result must equal the plain LEFT ANTI row-for-row,
+    duplicates included."""
+    from nightcrawlercmd_spark.sources.tableio import StateStore
+    from nightcrawlercmd_spark.streaming.engine import seen_anti_join_parts
+
+    store = StateStore(str(tmp_path / "kb"))
+    seen = spark.range(0, 4000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("http://h"), (F.col("id") % 13).cast("string"),
+                 F.lit(".test/p"), F.col("id").cast("string")).alias("canon_url"),
+        F.lit(1).alias("first_round"),
+    ).withColumn("sbucket", F.pmod(F.col("url_hash"), F.lit(8)).cast("int"))
+    written = store.write_keyed_bucketed(
+        seen.repartition(16, "url_hash", "canon_url"),
+        "seen_base", 2, ["url_hash", "canon_url"], 16,
+    )
+    base = store.read_keyed_bucketed(
+        spark, "seen_base", 2, ["url_hash", "canon_url"], 16
+    ).filter(F.col("sbucket").isin(written))
+    # overlap 2000..3999 seen, 4000..5999 fresh; 5000 duplicated on the
+    # left (id 6000 remapped — a Union here would let Catalyst push the
+    # anti-join below it and split the suspect Exchange in two) —
+    # LEFT ANTI must keep both copies through the chain
+    susp = spark.range(2000, 6001).select(
+        F.when(F.col("id") == 6000, F.lit(5000)).otherwise(F.col("id")).alias("id")
+    ).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("http://h"), (F.col("id") % 13).cast("string"),
+                 F.lit(".test/p"), F.col("id").cast("string")).alias("canon_url"),
+        F.lit("h.test").alias("host"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = seen_anti_join_parts(
+            susp, [base.select("url_hash", "canon_url")]
+        )
+        p = plan_of(out, "simple")
+        assert "Bucketed: true" in p  # history read as a bucketed scan
+        assert p.count("Exchange hashpartitioning") == 1  # suspects only
+        assert "LeftAnti" in p
+        plain = susp.join(
+            seen.select("url_hash", "canon_url"),
+            ["url_hash", "canon_url"], "left_anti",
+        )
+        a = sorted(tuple(r) for r in out.collect())
+        b = sorted(tuple(r) for r in plain.collect())
+        assert a == b and len(a) == 2001  # 4000-5999 fresh + dup of 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

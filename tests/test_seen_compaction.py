@@ -210,3 +210,52 @@ def test_upgrade_from_pre_incremental_store(spark, tmp_path):
     got = sorted(r["canon_url"] for r in second.seen().collect())
     want = sorted(r["canon_url"] for r in full.seen().collect())
     assert got == want
+
+
+def test_large_suspect_probe_storage_partitioned_exact(spark, tmp_path):
+    """Force the LARGE-suspect regime (suspect_broadcast_max=0 disables
+    the broadcast-inverted form; seen_prune_min_total=0 forces the
+    pruned probe from round 1): once the first fold writes a keyed base,
+    the exact probe must run the storage-partitioned chain
+    (seen_probe_parts) — and the crawl log + seen set must still match
+    the sequential oracle exactly."""
+    eng = CrawlEngine(
+        spark,
+        EngineConfig(state_dir=str(tmp_path / "lp"), world=WORLD, max_rounds=9,
+                     fetch_tasks=4, compact_seen_every=2,
+                     seen_buckets=8, seen_prune_min_total=0,
+                     suspect_broadcast_max=0, seen_key_buckets=4),
+    )
+    stats = eng.run()
+    sim = simulate(WORLD, max_rounds=9, default_budget=4)
+    got_log = [
+        (r["round"], r["seq"], r["canon_url"]) for r in eng.crawl_log().collect()
+    ]
+    assert got_log == [(r, s, u) for r, s, u, _ in sim.log]
+    assert {r["canon_url"] for r in eng.seen().collect()} == set(sim.seen)
+    # the chain actually ran after the first fold, and the fold round
+    # recorded its layout so resume re-registers the same bucket spec
+    assert any(rt.get("seen_probe_parts") for rt in stats["round_times"])
+    assert not any(rt.get("seen_probe_inverted") for rt in stats["round_times"])
+    base_round = eng.store.meta(eng.store.last_round())["seen_base_round"]
+    assert eng.store.meta(base_round)["seen_base_layout"]["key_buckets"] == 4
+
+
+def test_plain_layout_large_suspect_falls_back_exact(spark, tmp_path):
+    """seen_key_buckets=0 keeps the pre-keyed plain layout: the
+    large-suspect probe must fall back to the unioned read + plain
+    LEFT ANTI (seen_probe_parts never set) and stay exact."""
+    eng = CrawlEngine(
+        spark,
+        EngineConfig(state_dir=str(tmp_path / "pl"), world=WORLD, max_rounds=9,
+                     fetch_tasks=4, compact_seen_every=2,
+                     seen_buckets=8, seen_prune_min_total=0,
+                     suspect_broadcast_max=0, seen_key_buckets=0),
+    )
+    stats = eng.run()
+    sim = simulate(WORLD, max_rounds=9, default_budget=4)
+    got_log = [
+        (r["round"], r["seq"], r["canon_url"]) for r in eng.crawl_log().collect()
+    ]
+    assert got_log == [(r, s, u) for r, s, u, _ in sim.log]
+    assert not any(rt.get("seen_probe_parts") for rt in stats["round_times"])
