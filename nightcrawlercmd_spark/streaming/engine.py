@@ -228,6 +228,12 @@ class EngineConfig:
     # commit meta and readers use the recorded one, so config changes
     # apply to future folds only.
     seen_key_buckets: int = 32
+    # state-table backend: "parquet" (this sandbox — Iceberg contract
+    # emulated on files, tableio.py) or "iceberg" (real catalog,
+    # tableio_iceberg.py — bucket(N,key) transform + MERGE INTO;
+    # requires the runtime jar, gated by iceberg_available)
+    state_backend: str = "parquet"
+    state_catalog: str = "iceberg"
     # incremental seen compaction (seen analog of the pending knobs
     # above): a compaction folds only sbuckets whose unfolded delta
     # exceeds dirty_frac of their base rows; max_lag bounds how far a
@@ -321,7 +327,17 @@ class CrawlEngine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig):
         self.spark = spark
         self.cfg = cfg
-        self.store = StateStore(cfg.state_dir)
+        if cfg.state_backend == "parquet":
+            self.store = StateStore(cfg.state_dir)
+        else:
+            # cluster path (SURVEY §7.5(a)): same contract on a real
+            # Iceberg catalog — jar-gated, raises a clear error here
+            from ..sources.tableio_iceberg import make_state_store
+
+            self.store = make_state_store(
+                cfg.state_dir, spark, backend=cfg.state_backend,
+                catalog=cfg.state_catalog,
+            )
         self.robots = robots_df(spark, cfg).cache()
         self._bloom: PartitionedBloom | None = None
         self._bloom_bc = None  # current broadcast generation (broadcast mode)
