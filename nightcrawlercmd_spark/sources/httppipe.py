@@ -173,6 +173,10 @@ def write_xlsx(df, path: str, sheet_name: str = "Report") -> None:
         return _sax_escape(_XML_BAD.sub("", s), {'"': "&quot;"})
 
     header = list(df.columns)
+    # driver-side render, like the reference's dnsReportExcel: the
+    # input is a DNS-report-sized result (one row per scanned name),
+    # not a data-scale table — a 100-TB pipeline never routes bulk
+    # rows through a spreadsheet sink
     rows = [header] + [[row[c] for c in header] for row in df.collect()]
 
     def cell(r: int, c: int, v) -> str:
