@@ -109,7 +109,8 @@ def encode_dctq(img: np.ndarray) -> bytes:
         .astype(np.float32)
     ) - np.float32(128.0)
     dct = _D8f @ blocks @ _D8f.T
-    q = np.rint(dct / np.float32(_Q_STEP)).astype(np.int16)
+    # * 0.25 == / 4.0 exactly (power-of-two reciprocal), multiply is faster
+    q = np.rint(dct * np.float32(1.0 / _Q_STEP)).astype(np.int16)
     return struct.pack(">HH", w, h) + zlib.compress(
         # level 1: the coefficients are noise-like — level 6 costs 8x
         # the CPU for ~10% better ratio (measured)
@@ -172,11 +173,12 @@ def _resize_area(gray: np.ndarray, size: int = 32) -> np.ndarray:
     csum[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
     y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
     x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
-    s = (
-        csum[np.ix_(y1, x1)]
-        - csum[np.ix_(y0, x1)]
-        - csum[np.ix_(y1, x0)]
-        + csum[np.ix_(y0, x0)]
+    y0c, y1c = y0[:, None], y1[:, None]  # broadcast rows directly —
+    s = (                                # same cells np.ix_ selected
+        csum[y1c, x1]
+        - csum[y0c, x1]
+        - csum[y1c, x0]
+        + csum[y0c, x0]
     )
     area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
     return s / area
@@ -196,8 +198,7 @@ def phash64(img: np.ndarray) -> int:
     dct = _D32 @ small @ _D32.T
     coeffs = np.concatenate([dct[:8, :8].flatten()[1:], [dct[0, 8]]])
     med = np.median(coeffs)
-    bits = (coeffs > med).astype(np.uint64)
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
+    # packbits(bitorder="big") = the first coefficient lands in the
+    # MSB — identical to the former (v << 1 | bit) fold, loop-free
+    v = int.from_bytes(np.packbits(coeffs > med).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v

@@ -17,7 +17,7 @@ _MASK64 = (1 << 64) - 1
 
 def h64(*parts: object) -> int:
     """Deterministic 64-bit hash of the stringified parts (unsigned)."""
-    s = "\x1f".join(str(p) for p in parts).encode("utf-8")
+    s = "\x1f".join(map(str, parts)).encode("utf-8")
     return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little")
 
 

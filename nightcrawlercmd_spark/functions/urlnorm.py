@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 import string
+from functools import lru_cache
 from urllib.parse import urlsplit, urlunsplit, urljoin
 
 import pandas as pd
@@ -74,8 +75,15 @@ def _remove_dot_segments(path: str) -> str:
     return norm
 
 
+@lru_cache(maxsize=1 << 17)
 def canonicalize(url: str) -> str | None:
-    """Canonical absolute form of ``url``; None if not absolute http(s)."""
+    """Canonical absolute form of ``url``; None if not absolute http(s)).
+
+    Pure function of the input string, so memoized: the crawl's fetch
+    tasks are partitioned by host, and a host's outgoing links draw
+    from that host's bounded page set — the same absolute URL string
+    recurs across pages and rounds within one long-lived Python worker.
+    ~13 MB worst case per worker at the 2^17 cap."""
     if url is None:
         return None
     url = url.strip()
@@ -130,6 +138,15 @@ def resolve(base: str, href: str) -> str | None:
     href = href.strip()
     if not href or href.startswith(("javascript:", "mailto:", "data:", "#")):
         return None
+    if href.startswith(("http://", "https://")):
+        # Absolute href: skip urljoin entirely. Deliberate delta from
+        # urljoin(base, href): urlparse-based urljoin silently drops a
+        # trailing ';' (empty path-params artifact); going straight to
+        # canonicalize keeps ';' and makes the same URL string
+        # canonicalize identically whether it arrives as a seed or as
+        # an extracted href. urljoin does no dot-segment removal on
+        # netloc-qualified refs, so nothing else differs.
+        return canonicalize(href)
     try:
         absu = urljoin(base, href)
     except ValueError:

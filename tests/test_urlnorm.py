@@ -70,6 +70,20 @@ def test_resolve():
     assert resolve("http://h.test/a", "mailto:x@y.z") is None
 
 
+def test_resolve_absolute_href_matches_seed_canonicalization():
+    # An absolute href must canonicalize to the same string whether it
+    # arrives as a seed (canonicalize) or as an extracted link
+    # (resolve) — including the trailing-';' case where urlparse-based
+    # urljoin would have silently dropped the empty path-params.
+    for href in (
+        "http://h.test/a;",
+        "http://h.test/a;b=1",
+        "HTTPS://H.test:443/x/../y?b=2&a=1#frag",
+        "http://h.test",
+    ):
+        assert resolve("http://base.test/p", href) == canonicalize(href), href
+
+
 def test_host_of():
     assert host_of("http://h.test/p") == "h.test"
     assert host_of("http://h.test:8080/p") == "h.test"
