@@ -523,7 +523,17 @@ def main() -> None:
                         else:
                             attempts.append({"skipped_probe_2_8": probe28,
                                              "skipped_probe_4_16": probe_eff})
-                            time.sleep(20)
+                            # exponential backoff: 20s flat burned the
+                            # whole attempt budget inside one ~2-min
+                            # bad window; the VM's load swings on
+                            # minute timescales, so spacing the skips
+                            # out lets later attempts land in a
+                            # DIFFERENT window instead of re-probing
+                            # the same one
+                            n_skips = sum(
+                                1 for a in attempts if "skipped_probe_2_8" in a
+                            )
+                            time.sleep(min(240, 20 * 2 ** (n_skips - 1)))
                             continue
                     m_hi = run_crawl(ph, rounds, world=mw)
                     m_hi["hw_rate"] = (hardware_capacity(ph, reps=1) + m_hi["hw_rate_before"]) / 2
