@@ -541,7 +541,13 @@ def main() -> None:
                     m_lo["hw_rate"] = (hardware_capacity(pl, reps=1) + m_lo["hw_rate_before"]) / 2
                     m_eff = (m_hi["urls_per_sec"] / m_lo["urls_per_sec"]) / 4.0
                     rescued_from = None
-                    if 0.6 <= m_eff < 0.8:
+                    # rescue only when the legs' own adjacent hardware
+                    # scaling says ≥0.8 is physically expressible in
+                    # this window (a 0.6-hw window can't yield a 0.8
+                    # engine ratio no matter how many re-runs) — a
+                    # hopeless rescue burns two crawl legs for nothing
+                    hw_pair = (m_hi["hw_rate"] / m_lo["hw_rate"]) / 4.0
+                    if 0.6 <= m_eff < 0.8 and hw_pair >= 0.85:
                         rescued_from = round(m_eff, 3)
                         # Best-of-2 rescue: co-tenant load is strictly
                         # one-sided noise (it only ever SLOWS a leg),
