@@ -226,12 +226,16 @@ def shingles(words_col: Column, k: int = 3) -> Column:
 
 
 def shingle_table(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct — substrate for MinHash / Jaccard."""
+    """(doc_id, shingle) distinct — substrate for MinHash / Jaccard.
+
+    The word array is materialized as its own projection first:
+    Catalyst does not common-subexpression-eliminate a split() nested
+    inside the shingle lambda's per-element array accesses, so the
+    inline form re-splits the text O(words × k) times per document
+    (measured 11.2s vs 0.5s on sf0.1's documents table)."""
     return (
-        docs.select(
-            "doc_id",
-            F.explode(shingles(F.split(F.lower(F.col("text")), " "), k)).alias("shingle"),
-        )
+        docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("__w"))
+        .select("doc_id", F.explode(shingles(F.col("__w"), k)).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )
