@@ -42,6 +42,8 @@ def _norm_pct(s: str) -> str:
     """RFC 3986 §6.2.2.1-2: uppercase percent triplets; decode only the
     unreserved set (decoding reserved chars like %2F would change the
     resource identity)."""
+    if "%" not in s:  # no triplet can match — the sub() is the identity
+        return s
 
     def repl(m: re.Match) -> str:
         ch = chr(int(m.group(1), 16))
@@ -51,6 +53,10 @@ def _norm_pct(s: str) -> str:
 
 
 def _remove_dot_segments(path: str) -> str:
+    if "." not in path:
+        # no "." or ".." segment can exist: split/join is the identity
+        # apart from guaranteeing the leading slash
+        return path if path.startswith("/") else "/" + path
     segs = path.split("/")
     out: list[str] = []
     for seg in segs:
@@ -147,6 +153,24 @@ def resolve(base: str, href: str) -> str | None:
         # an extracted href. urljoin does no dot-segment removal on
         # netloc-qualified refs, so nothing else differs.
         return canonicalize(href)
+    if href[0] == "/" and not href.startswith("//") and ";" not in href:
+        # Root-relative href: RFC 3986 §5.3 recomposes scheme://authority
+        # + href verbatim, and canonicalize re-does dot-segment removal,
+        # so origin-concat == urljoin for this shape — minus urljoin's
+        # urlparse round-trip per call (the fetch hot path resolves ~5
+        # of these per page). ';' on either side falls back: urljoin's
+        # params split drops a trailing ';' and the delta must stay
+        # confined to the absolute-href branch above where it is
+        # documented. A base with no '/' after the authority (raw
+        # pathless input) falls back too.
+        s = base.find("://")
+        if s >= 0 and ";" not in base:
+            p = base.find("/", s + 3)
+            # the '/' must actually end the authority: a '?' or '#'
+            # before it (raw pathless base with a '/' inside the query)
+            # means base[:p] would swallow query bytes — fall back
+            if p > 0 and "?" not in base[s + 3 : p] and "#" not in base[s + 3 : p]:
+                return canonicalize(base[:p] + href)
     try:
         absu = urljoin(base, href)
     except ValueError:

@@ -83,6 +83,21 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+
+    # Convergence check via the label-sum invariant: each sweep takes
+    # new(v) = min(old(v), incoming) so labels are NON-INCREASING per
+    # node and the node set is constant — the sum strictly decreases
+    # iff any label changed, and an unchanged sum certifies the
+    # fixpoint. One map-side-combinable agg over the just-checkpointed
+    # sweep replaces the former join-against-previous + limit + count
+    # (a shuffle join per sweep). decimal(38,0) keeps the sum exact far
+    # beyond any bigint node-id corpus (n·2^63 < 10^38 for n < 10^19).
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     changed = 1
     for _ in range(max_iter):
         msgs = sym.alias("e").join(
@@ -91,13 +106,9 @@ def connected_components(
         new, new_ids = _checkpoint_tracked(
             labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new)
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         # the old sweep's checkpoint blocks are dead once the changed
         # check has consumed them — without this, ~diameter copies of
         # the labels table pile up in block-manager storage (freed by

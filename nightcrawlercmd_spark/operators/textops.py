@@ -225,20 +225,25 @@ def shingles(words_col: Column, k: int = 3) -> Column:
     )
 
 
-def shingle_table(docs: DataFrame, k: int = 3) -> DataFrame:
+def shingle_table(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) distinct — substrate for MinHash / Jaccard.
 
     The word array is materialized as its own projection first:
     Catalyst does not common-subexpression-eliminate a split() nested
     inside the shingle lambda's per-element array accesses, so the
     inline form re-splits the text O(words × k) times per document
-    (measured 11.2s vs 0.5s on sf0.1's documents table)."""
-    return (
+    (measured 11.2s vs 0.5s on sf0.1's documents table).
+
+    ``distinct=False`` skips the dedupe shuffle for consumers whose
+    aggregation is duplicate-insensitive (MinHash ``min`` over the
+    shingle hashes) — the signature pipeline then has exactly one
+    exchange (the map-side-combinable groupBy) instead of two."""
+    sh = (
         docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("__w"))
         .select("doc_id", F.explode(shingles(F.col("__w"), k)).alias("shingle"))
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 # ------------------------------------------------------------ dedupe ------
@@ -261,8 +266,15 @@ def minhash_signatures(
     """doc_id + n_hashes MinHash values (mh0..mhN). One explode + one
     groupBy — the P permutations are P columns, not P passes.
     ``shingles_df`` lets a composed pipeline share one (materialized)
-    shingle table instead of re-deriving it per stage."""
-    sh = shingles_df if shingles_df is not None else shingle_table(docs, k)
+    shingle table instead of re-deriving it per stage. When built
+    internally the shingle table skips its distinct: ``min`` over the
+    permutation hashes is duplicate-insensitive, so the signature is
+    identical with one fewer exchange."""
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_table(docs, k, distinct=False)
+    )
     aggs = [
         F.min(md5i(F.concat(F.lit(f"p{p}|"), F.col("shingle")))).alias(f"mh{p}")
         for p in range(n_hashes)
@@ -286,7 +298,16 @@ def minhash_lsh_pairs(
             f"({band_size}) — trailing MinHash values would be computed "
             "and silently unused, delivering less recall than configured"
         )
-    sig = minhash_signatures(docs, n_hashes, k, shingles_df=shingles_df)
+    # the band table feeds BOTH sides of the self-join below and Spark
+    # does not reuse the exchange across them (measured: the whole
+    # signature pipeline — corpus scan, shingle explode, 8-hash agg —
+    # executed twice). The signature is n_docs × 9 columns, so persist
+    # it; both sides then re-run only the band explode. The count()
+    # materializes the cache eagerly — otherwise the join's first
+    # action races both sides into the cold cache and computes the
+    # pipeline twice anyway, paying the cache-store cost on top.
+    sig = minhash_signatures(docs, n_hashes, k, shingles_df=shingles_df).persist()
+    sig.count()
     n_bands = n_hashes // band_size
     bands = sig.select(
         "doc_id",
@@ -356,8 +377,15 @@ def ngram_jaccard_pairs(
     pairs are blocked on the low-cardinality ``source`` column — fine
     as a small-scale verifier, but near-quadratic within a block at
     100 TB; never ship that form at scale. ``shingles_df`` shares one
-    shingle table across stages (see near_dup_lsh_exact)."""
-    sh = shingles_df if shingles_df is not None else shingle_table(docs, k)
+    shingle table across stages (see near_dup_lsh_exact). A self-built
+    shingle table is persisted: it feeds the size agg and both join
+    sides, and without the persist the scan+explode+distinct pipeline
+    executed four times (no exchange reuse fires across them)."""
+    if shingles_df is not None:
+        sh = shingles_df
+    else:
+        sh = shingle_table(docs, k).persist()
+        sh.count()  # eager: see minhash_lsh_pairs — serialize the cache build
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is not None:
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -445,6 +473,7 @@ def near_dup_lsh_exact(
         from pyspark import StorageLevel
 
         sh = shingle_table(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+        sh.count()  # eager: serialize the cache build (see minhash_lsh_pairs)
     cands = minhash_lsh_pairs(
         docs, n_hashes=n_hashes, band_size=band_size, k=k, shingles_df=sh
     )

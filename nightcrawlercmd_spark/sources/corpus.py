@@ -83,7 +83,11 @@ def _image_ids(cfg: WorldConfig) -> frozenset[str]:
     return frozenset(image_id_of(cfg, u) for u in all_page_urls(cfg))
 
 
+@lru_cache(maxsize=1 << 15)
 def n_pages(cfg: WorldConfig, host: str) -> int:
+    """Cached: the fetch hot loop derives a link target's page count per
+    extracted href (~7/page) and the seeder per seed — all repeats of
+    the same ≤ n_hosts keys, each otherwise a fresh blake2b."""
     if host.startswith("host00."):
         return cfg.base_pages * cfg.hot_factor
     return cfg.base_pages + h64(cfg.tag, host, "np") % cfg.base_pages
@@ -127,28 +131,40 @@ def robots_rows(cfg: WorldConfig) -> list[dict]:
 
 # -------------------------------------------------------------- seeds -----
 
+def host_seed_urls(cfg: WorldConfig, hst: str, is_hot: bool, n_hosts: int) -> list[str]:
+    """Seed URLs of ONE host (dirty variants included) — the per-host
+    unit shared by the sequential ``seed_rows`` and the engine's
+    distributed seed generation, so both produce the identical multiset
+    by construction."""
+    rows: list[str] = []
+    cnt = hint(cfg.seeds_lo, cfg.seeds_hi, cfg.tag, hst, "ns")
+    if is_hot:
+        cnt = max(2 * cnt, n_hosts)  # hot host overrepresented
+    np_h = n_pages(cfg, hst)
+    for k in range(cnt):
+        j = hint(0, np_h - 1, cfg.tag, hst, "seed", k)
+        style = h64(cfg.tag, hst, "seedstyle", k) % 5
+        if style == 0:
+            rows.append(f"http://{hst.upper()}/p/{j}")
+        elif style == 1:
+            rows.append(f"http://{hst}:80/p/{j}")
+        elif style == 2:
+            rows.append(f"http://{hst}/a/../p/{j}#frag")
+        elif style == 3:
+            rows.append(f"http://{hst}/p/{j}?b=2&a=1")
+        else:
+            rows.append(page_url(hst, j))
+    return rows
+
+
 def seed_rows(cfg: WorldConfig) -> list[dict]:
     """Seed URL list with dirty variants; hot host ≈ half the seeds."""
-    rows: list[str] = []
     hs = hosts(cfg)
-    for hst in hs:
-        cnt = hint(cfg.seeds_lo, cfg.seeds_hi, cfg.tag, hst, "ns")
-        if hst == hs[0]:
-            cnt = max(2 * cnt, len(hs))  # hot host overrepresented
-        for k in range(cnt):
-            j = hint(0, n_pages(cfg, hst) - 1, cfg.tag, hst, "seed", k)
-            style = h64(cfg.tag, hst, "seedstyle", k) % 5
-            if style == 0:
-                rows.append(f"http://{hst.upper()}/p/{j}")
-            elif style == 1:
-                rows.append(f"http://{hst}:80/p/{j}")
-            elif style == 2:
-                rows.append(f"http://{hst}/a/../p/{j}#frag")
-            elif style == 3:
-                rows.append(f"http://{hst}/p/{j}?b=2&a=1")
-            else:
-                rows.append(page_url(hst, j))
-    return [{"url": u} for u in rows]
+    return [
+        {"url": u}
+        for hst in hs
+        for u in host_seed_urls(cfg, hst, hst == hs[0], len(hs))
+    ]
 
 
 # -------------------------------------------------------------- pages -----

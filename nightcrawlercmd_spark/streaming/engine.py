@@ -318,9 +318,31 @@ def robots_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
 def seeds_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
     if cfg.seeds_path:
         return spark.read.parquet(cfg.seeds_path)
-    from ..sources.corpus import seed_rows
+    from ..sources.corpus import host_seed_urls, hosts
 
-    return spark.createDataFrame(pd.DataFrame(seed_rows(cfg.world)), schema="url string")
+    # distributed seed generation: ship the O(n_hosts) host list and
+    # expand each host's seed URLs on the executors (same per-host unit
+    # the sequential oracle uses → identical multiset). The driver-side
+    # expansion was ~2s serial + a 360k-row Arrow ship per bench leg —
+    # pure Amdahl overhead charged to every parallelism level.
+    world = cfg.world
+    hs = hosts(world)
+    host_pdf = pd.DataFrame({"host": hs, "is_hot": [h == hs[0] for h in hs]})
+    n_hosts = len(hs)
+
+    def expand(batches):
+        for pdf in batches:
+            urls: list[str] = []
+            for hst, hot in zip(pdf["host"], pdf["is_hot"]):
+                urls.extend(host_seed_urls(world, hst, bool(hot), n_hosts))
+            yield pd.DataFrame({"url": urls})
+
+    n_parts = max(1, min(n_hosts, spark.sparkContext.defaultParallelism * 2))
+    return (
+        spark.createDataFrame(host_pdf)
+        .repartition(n_parts)
+        .mapInPandas(expand, schema="url string")
+    )
 
 
 class CrawlEngine:
@@ -351,6 +373,18 @@ class CrawlEngine:
     def _init_round0(self) -> None:
         """Seed the frontier (reference: url-list load + ToAbsUrl +
         RemoveLinksNotSameHost, mainCrawler.go:117-140)."""
+        import os as _os
+        import time as _time
+
+        _timing = _os.environ.get("NCS_TIMING") == "1"
+        _t = [_time.time()]
+
+        def tick(label: str) -> None:
+            if _timing:
+                now = _time.time()
+                print(f"    [init] {label}: {now - _t[0]:.1f}s", flush=True)
+                _t[0] = now
+
         cfg = self.cfg
         seeds = (
             seeds_df(self.spark, cfg)
@@ -377,6 +411,7 @@ class CrawlEngine:
             .withColumn("parent_url_hash", F.lit(None).cast("bigint"))
         )
         pend = _with_salt_cols(pend, cfg.n_salts).select(*PENDING_COLS)
+        tick("seed_plan")
         written = self.store.write_bucketed(
             self._with_pbucket(pend).repartition(cfg.fetch_tasks, "pbucket", "salt"),
             "pending_b",
@@ -384,6 +419,7 @@ class CrawlEngine:
         )
         manifest = {b: 0 for b in written}
         seeds.unpersist()
+        tick("write_pending0")
         # seen delta shares the pending shape (+first_round) across all
         # rounds; the pending count is observed during this write — no
         # dedicated count job or second manifest scan at init (the same
@@ -396,6 +432,7 @@ class CrawlEngine:
             seen0.observe(obs0, F.count(F.lit(1)).alias("rows")), "seen", 0
         )
         n = int(obs0.get.get("rows") or 0)
+        tick("write_seen0")
         m_bits = PartitionedBloom.size_for(self.cfg.expected_urls, self.cfg.bloom)
         if cfg.use_bloom and self._table_probe():
             self.store.append(
@@ -416,10 +453,18 @@ class CrawlEngine:
         # skipped when pruning is off — a later enable bootstraps)
         st0_maxp: dict | None = None
         st0_cnt: dict | None = None
-        if cfg.pending_prune:
+        tick("bloom0")
+        # bounds are only consumed by capacitated rounds; an
+        # uncapacitated crawl (no round_capacity / max_pages) skips the
+        # init agg too — a later capacitated invocation bootstraps via
+        # _bucket_stats like a legacy store
+        if cfg.pending_prune and (
+            cfg.round_capacity is not None or cfg.max_pages is not None
+        ):
             st0_maxp, st0_cnt = self._bucket_stats(
                 self._read_pending_manifest(manifest)
             )
+        tick("bucket_stats0")
         self.store.commit(
             0,
             {
@@ -1469,6 +1514,15 @@ class CrawlEngine:
         st_maxp: dict[int, float] | None = None
         st_cnt: dict[int, int] | None = None
         stats_refresh_round = int(prev_meta.get("pending_stats_refresh_round", 0))
+        if remaining is None:
+            # uncapacitated round: the pruned read can never engage (it
+            # requires a capacity), so the per-round stats-maintenance
+            # agg is pure overhead — skip it and DROP the stats from
+            # this commit (carrying them forward un-maintained would
+            # break their upper-bound invariant). A later capacitated
+            # round bootstraps fresh bounds via _bucket_stats, exactly
+            # like a legacy store.
+            prev_stats = None
         if prev_stats is not None:
             # (never created from deltas alone — a delta-only map is
             # not an upper bound for buckets with untracked base rows;
