@@ -20,8 +20,10 @@ expected. ``localCheckpoint`` truncates lineage each sweep so the plan
 does not grow with iteration count; on a real cluster use a
 fault-tolerant ``checkpoint()`` (HDFS/S3 checkpoint dir) instead.
 
-The early-exit test is a `limit(1).count()` over changed labels — an
-O(1)-result job per sweep, not a data collect.
+The early-exit test is the label-sum fixpoint certificate (labels are
+per-node non-increasing, so an unchanged exact sum means no label
+moved) — an O(1)-result agg folded into the same job that materializes
+each sweep's checkpoint, not a data collect.
 """
 
 from __future__ import annotations
@@ -30,21 +32,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
-    """``localCheckpoint(eager=True)`` + the ids of the RDD blocks it
-    persisted. ``DataFrame.unpersist()`` is a NO-OP on checkpointed
-    data — it only consults the CacheManager, which never registered
-    the checkpoint RDD — so freeing a superseded sweep requires
-    unpersisting the underlying RDD by id. The ids are recovered as
-    the diff of ``getPersistentRDDs`` around the (synchronous, eager)
-    checkpoint; the loop is driver-sequential so nothing else persists
-    in between."""
+def _checkpoint_tracked(
+    df: DataFrame, action=None
+) -> tuple[DataFrame, set[int], object]:
+    """``localCheckpoint`` + the ids of the RDD blocks it persisted.
+    ``DataFrame.unpersist()`` is a NO-OP on checkpointed data — it only
+    consults the CacheManager, which never registered the checkpoint
+    RDD — so freeing a superseded sweep requires unpersisting the
+    underlying RDD by id. The ids are recovered as the diff of
+    ``getPersistentRDDs`` around the (synchronous) materialization; the
+    loop is driver-sequential so nothing else persists in between.
+
+    ``action`` (checkpointed df → value) doubles as the materializer:
+    the checkpoint is marked lazy and the action's full-coverage job
+    computes-and-stores every partition while producing its value —
+    one job instead of an eager-checkpoint job plus an action job per
+    sweep. Without ``action`` the checkpoint is eager as before."""
     sc = df.sparkSession.sparkContext
     before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
-    out = df.localCheckpoint(eager=True)
+    if action is None:
+        out = df.localCheckpoint(eager=True)
+        val = None
+    else:
+        out = df.localCheckpoint(eager=False)
+        val = action(out)
     after = sc._jsc.getPersistentRDDs()
     new_ids = {int(i) for i in after.keySet().toArray()} - before
-    return out, new_ids
+    return out, new_ids, val
 
 
 def _unpersist_ids(df: DataFrame, ids: set[int]) -> None:
@@ -71,42 +85,51 @@ def connected_components(
     duplicates survive dedup; long-chain graphs should raise
     ``max_iter`` or switch to star alternation.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # checkpoint the symmetrized edge list once: every sweep joins
-    # against it, and without this the upstream pipeline (e.g. the
-    # full MinHash-LSH pair derivation) would re-execute per sweep
-    sym, sym_ids = _checkpoint_tracked(
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # checkpoint the DIRECTED edge list first, then symmetrize over the
+    # materialized copy: every sweep joins against sym, and without the
+    # checkpoint the upstream pipeline (e.g. the full MinHash-LSH pair
+    # derivation) would re-execute per sweep — and checkpointing the
+    # union directly would execute that pipeline twice (once per union
+    # branch) in the very first job. The reversed branch now reads the
+    # checkpointed blocks instead.
+    ce, ce_ids, _ = _checkpoint_tracked(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     )
-    labels, labels_ids = _checkpoint_tracked(
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    sym, sym_ids, _ = _checkpoint_tracked(
+        ce.union(ce.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
+    _unpersist_ids(ce, ce_ids)  # sym supersedes the directed copy
 
     # Convergence check via the label-sum invariant: each sweep takes
     # new(v) = min(old(v), incoming) so labels are NON-INCREASING per
     # node and the node set is constant — the sum strictly decreases
     # iff any label changed, and an unchanged sum certifies the
-    # fixpoint. One map-side-combinable agg over the just-checkpointed
-    # sweep replaces the former join-against-previous + limit + count
-    # (a shuffle join per sweep). decimal(38,0) keeps the sum exact far
-    # beyond any bigint node-id corpus (n·2^63 < 10^38 for n < 10^19).
+    # fixpoint. The map-side-combinable agg rides the SAME job that
+    # materializes the sweep's checkpoint (see _checkpoint_tracked),
+    # replacing the former join-against-previous + limit + count (a
+    # shuffle join plus an extra job per sweep). decimal(38,0) keeps
+    # the sum exact far beyond any bigint node-id corpus
+    # (n·2^63 < 10^38 for n < 10^19).
     def _label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = _label_sum(labels)
+    labels, labels_ids, prev_sum = _checkpoint_tracked(
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node")),
+        action=_label_sum,
+    )
     changed = 1
     for _ in range(max_iter):
         msgs = sym.alias("e").join(
             labels.alias("l"), F.col("e.a") == F.col("l.node")
         ).select(F.col("e.b").alias("node"), F.col("l.label").alias("label"))
-        new, new_ids = _checkpoint_tracked(
-            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        new, new_ids, new_sum = _checkpoint_tracked(
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label")),
+            action=_label_sum,
         )
-        new_sum = _label_sum(new)
         changed = int(new_sum != prev_sum)
         prev_sum = new_sum
         # the old sweep's checkpoint blocks are dead once the changed

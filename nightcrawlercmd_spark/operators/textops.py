@@ -42,6 +42,24 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 EXTRACTORS = ("word", "url", "url_rel", "url_abs", "email", "string", "none")
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input spreading for compute-heavy derivations
+    (regex explodes, per-shingle hashing): when the scan collapsed to
+    fewer splits than cores — single-row-group files are one split no
+    matter the split config, so the whole narrow pipeline above them
+    runs on ONE core — round-robin the rows over the default
+    parallelism first. A no-op whenever the source already yields
+    >= parallelism splits (any real at-scale input), so nothing is ever
+    shuffled twice at 100 TB; the guard is partition count, not a
+    constant tuned to either local mode or a cluster (guide §2.5
+    "input skew: one huge unsplittable file")."""
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
+
+
 def words(col: Column) -> Column:
     """Array of reference-regex words (O25)."""
     return F.regexp_extract_all(col, F.lit(WORD_RE), F.lit(0))
@@ -239,7 +257,8 @@ def shingle_table(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFra
     shingle hashes) — the signature pipeline then has exactly one
     exchange (the map-side-combinable groupBy) instead of two."""
     sh = (
-        docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("__w"))
+        spread_input(docs)
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("__w"))
         .select("doc_id", F.explode(shingles(F.col("__w"), k)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
@@ -306,8 +325,7 @@ def minhash_lsh_pairs(
     # materializes the cache eagerly — otherwise the join's first
     # action races both sides into the cold cache and computes the
     # pipeline twice anyway, paying the cache-store cost on top.
-    sig = minhash_signatures(docs, n_hashes, k, shingles_df=shingles_df).persist()
-    sig.count()
+    sig = minhash_signatures(docs, n_hashes, k, shingles_df=shingles_df)
     n_bands = n_hashes // band_size
     bands = sig.select(
         "doc_id",
@@ -377,15 +395,11 @@ def ngram_jaccard_pairs(
     pairs are blocked on the low-cardinality ``source`` column — fine
     as a small-scale verifier, but near-quadratic within a block at
     100 TB; never ship that form at scale. ``shingles_df`` shares one
-    shingle table across stages (see near_dup_lsh_exact). A self-built
-    shingle table is persisted: it feeds the size agg and both join
-    sides, and without the persist the scan+explode+distinct pipeline
-    executed four times (no exchange reuse fires across them)."""
-    if shingles_df is not None:
-        sh = shingles_df
-    else:
-        sh = shingle_table(docs, k).persist()
-        sh.count()  # eager: see minhash_lsh_pairs — serialize the cache build
+    shingle table across stages (see near_dup_lsh_exact) — a 100-TB
+    run should always pass a materialized one; standalone small-scale
+    use recomputes the shingle pipeline per consumer, which measured
+    cheaper than materialization overhead at oracle scale."""
+    sh = shingles_df if shingles_df is not None else shingle_table(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is not None:
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

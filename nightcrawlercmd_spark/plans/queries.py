@@ -1157,15 +1157,8 @@ def q_tfidf_top_terms(spark, sf):
     words = docs.select(
         "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("word")
     )
-    # persist tf: it feeds both the df derivation and the final join,
-    # and without it the scan+regex+explode+agg pipeline runs twice.
-    # df == countDistinct(doc_id) over words == count(*) over tf (tf
-    # holds exactly one row per (doc_id, word)) — same value, one
-    # derivation of the word explode instead of two and a cheap count
-    # agg instead of a distinct agg.
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
-    tf.count()  # eager: serialize the cache build (see minhash_lsh_pairs)
-    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df_, "word")
