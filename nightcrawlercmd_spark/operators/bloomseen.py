@@ -170,6 +170,30 @@ def build_filter_deltas(
     return [(r["pid"], r["filter"]) for r in rows]
 
 
+def build_filter_rows_from_hashes(
+    hashes: np.ndarray, cfg: BloomConfig, m_bits: int
+) -> list[tuple[int, bytes]]:
+    """Driver-local twin of ``build_filter_deltas`` for ROUND-SCALE
+    deltas in broadcast mode: identical pid assignment (pmod) and bit
+    positions, zero Spark stages. The distributed form shuffles the
+    delta into partitions × subsplits pandas groups and collects the
+    blobs — right for a 10^8-row rebuild, pure fixed cost for a
+    round's delta whose hash column is a few MB; the engine gates on
+    the observed delta row count."""
+    h = np.asarray(hashes, dtype=np.int64)
+    p = cfg.partitions
+    pid = ((h % p) + p) % p  # pmod semantics on signed hashes
+    pos = _positions(h, cfg.k, m_bits)
+    out = []
+    for pv in np.unique(pid):
+        mask = pid == pv
+        arr = np.zeros(m_bits // 8, dtype=np.uint8)
+        pp = pos[mask]
+        np.bitwise_or.at(arr, pp >> 3, (1 << (pp & 7)).astype(np.uint8))
+        out.append((int(pv), arr.tobytes()))
+    return out
+
+
 def bloom_payload(bloom: PartitionedBloom) -> tuple:
     """The broadcast payload for the probe UDF."""
     return (bloom.cfg.partitions, bloom.cfg.k, bloom.m_bits, bloom.filters)

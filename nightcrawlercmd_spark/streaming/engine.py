@@ -49,6 +49,7 @@ from ..operators.bloomseen import (
     bloom_probe_cogroup,
     build_filter_delta_df,
     build_filter_deltas,
+    build_filter_rows_from_hashes,
     or_merge_filters_df,
 )
 from ..operators.dequeue import dequeue
@@ -345,6 +346,41 @@ def seeds_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def world_seed_canon_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
+    """World seeds already canonicalized: ONE fused Python stage does
+    per-host expansion + canonicalize + depth-0 priority (the exact
+    functions seed_udf applies), instead of a mapInPandas expansion
+    followed by a second Arrow round-trip through seed_udf. Null
+    canon rows (junk seeds) are dropped inside the stage. Used by
+    _init_round0 for the no-seeds-path case; a seeds_path parquet keeps
+    the raw-url + seed_udf pipeline."""
+    from ..sources.corpus import host_seed_urls, hosts
+
+    world = cfg.world
+    hs = hosts(world)
+    host_pdf = pd.DataFrame({"host": hs, "is_hot": [h == hs[0] for h in hs]})
+    n_hosts = len(hs)
+
+    def expand(batches):
+        for pdf in batches:
+            canon: list[str] = []
+            prio: list[float] = []
+            for hst, hot in zip(pdf["host"], pdf["is_hot"]):
+                for u in host_seed_urls(world, hst, bool(hot), n_hosts):
+                    c = canonicalize(u)
+                    if c is not None:
+                        canon.append(c)
+                        prio.append(priority_of(c, 0))
+            yield pd.DataFrame({"canon_url": canon, "priority": prio})
+
+    n_parts = max(1, min(n_hosts, spark.sparkContext.defaultParallelism * 2))
+    return (
+        spark.createDataFrame(host_pdf)
+        .repartition(n_parts)
+        .mapInPandas(expand, schema="canon_url string, priority double")
+    )
+
+
 class CrawlEngine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig):
         self.spark = spark
@@ -386,12 +422,19 @@ class CrawlEngine:
                 _t[0] = now
 
         cfg = self.cfg
+        if cfg.seeds_path:
+            canon_seeds = (
+                seeds_df(self.spark, cfg)
+                .select(seed_udf()(F.col("url")).alias("s"))
+                .select("s.canon_url", "s.priority")
+                .filter(F.col("canon_url").isNotNull())
+            )
+        else:
+            # world seeds: canonicalization fused into the distributed
+            # expansion — one Python stage instead of two
+            canon_seeds = world_seed_canon_df(self.spark, cfg)
         seeds = (
-            seeds_df(self.spark, cfg)
-            .select(seed_udf()(F.col("url")).alias("s"))
-            .select("s.canon_url", "s.priority")
-            .filter(F.col("canon_url").isNotNull())
-            .withColumn("host", host_of_col(F.col("canon_url")))
+            canon_seeds.withColumn("host", host_of_col(F.col("canon_url")))
             .persist()  # one Python pass feeds both derived writes
         )
         # scope hosts are NOT collected to the driver: the filter is a
@@ -1645,10 +1688,26 @@ class CrawlEngine:
                     "seen_filters",
                     r,
                 )
-            elif self._bloom is not None:
-                self._bloom.add_filter_rows(
-                    build_filter_deltas(delta, self._bloom_cfg(), self._bloom.m_bits)
-                )
+            elif self._bloom is not None and n_new:
+                if n_new <= 2_000_000:
+                    # round-scale delta: one column-pruned Arrow collect
+                    # (≤16 MB of hashes) + a local numpy build — same
+                    # bits, none of the shuffle + pandas-group fixed
+                    # cost the distributed build pays per round
+                    hashes = (
+                        delta.select("url_hash").toPandas()["url_hash"].to_numpy()
+                    )
+                    self._bloom.add_filter_rows(
+                        build_filter_rows_from_hashes(
+                            hashes, self._bloom_cfg(), self._bloom.m_bits
+                        )
+                    )
+                else:
+                    self._bloom.add_filter_rows(
+                        build_filter_deltas(
+                            delta, self._bloom_cfg(), self._bloom.m_bits
+                        )
+                    )
                 self._bloom_bc_stale = True
             tick("bloom_delta_build")
         seen_meta = self._maybe_compact_seen(r)  # fold or carry forward
