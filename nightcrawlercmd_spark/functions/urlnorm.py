@@ -81,17 +81,55 @@ def _remove_dot_segments(path: str) -> str:
     return norm
 
 
-@lru_cache(maxsize=1 << 17)
+# URLs this regex accepts are FIXPOINTS of canonicalize: lowercase
+# http scheme; authority of [a-z0-9.-] not ending in '.' (no port, no
+# userinfo, no brackets, no uppercase — each of those would be
+# rewritten); a '/'-led path free of '%' (pct normalization is the
+# identity), '?'/'#' (nothing to sort/strip), and of '.' segments
+# (checked separately below — dot-segment removal is the identity).
+# \Z (not $, which matches before a trailing newline) and the \s
+# exclusion keep whitespace-carrying inputs on the full path, which
+# strip()s them first.
+_CANON_FIXPOINT_RE = re.compile(
+    r"^http://[a-z0-9-]([a-z0-9.-]*[a-z0-9-])?(/[^%?#\s]*)?\Z"
+)
+
+
+def _canonical_fixpoint(url: str) -> bool:
+    m = _CANON_FIXPOINT_RE.match(url)
+    if m is None:
+        return False
+    path = m.group(2)
+    if path is None:
+        return False  # empty path → canonicalize appends '/'
+    # any '.'-only segment would be rewritten by dot-segment removal
+    return not (
+        "/../" in path or "/./" in path
+        or path.endswith(("/..", "/."))
+    )
+
+
 def canonicalize(url: str) -> str | None:
     """Canonical absolute form of ``url``; None if not absolute http(s)).
 
-    Pure function of the input string, so memoized: the crawl's fetch
-    tasks are partitioned by host, and a host's outgoing links draw
-    from that host's bounded page set — the same absolute URL string
-    recurs across pages and rounds within one long-lived Python worker.
-    ~13 MB worst case per worker at the 2^17 cap."""
+    The fixpoint fast path returns already-canonical simple URLs
+    (≈half of the crawl's resolved hrefs) without the urlsplit
+    round-trip or an LRU slot; everything else goes through the full
+    memoized normalization."""
     if url is None:
         return None
+    if _canonical_fixpoint(url):
+        return url
+    return _canonicalize_full(url)
+
+
+@lru_cache(maxsize=1 << 17)
+def _canonicalize_full(url: str) -> str | None:
+    """Full normalization (memoized: the crawl's fetch tasks are
+    partitioned by host, and a host's outgoing links draw from that
+    host's bounded page set — the same absolute URL string recurs
+    across pages and rounds within one long-lived Python worker;
+    ~13 MB worst case per worker at the 2^17 cap)."""
     url = url.strip()
     if not url:
         return None
