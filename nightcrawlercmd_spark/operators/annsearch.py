@@ -123,6 +123,7 @@ def ivf_topk(
     centroids_k: int = 8,
     nprobe: int = 2,
     k: int = 10,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
     that complements ``lsh_topk``.
@@ -146,11 +147,19 @@ def ivf_topk(
     """
     import math
 
-    cents = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < centroids_k)
-        .select("vec_id", "embedding")
-        .collect()
+    # `centroids` lets a caller hand over the K-row codebook without a
+    # Spark collect (e.g. a driver-side pyarrow footer read of the same
+    # input, or a trained codebook) — the values must equal what the
+    # collect would produce; the default keeps the self-contained form.
+    cents = (
+        sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+        if centroids is not None
+        else sorted(
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < centroids_k)
+            .select("vec_id", "embedding")
+            .collect()
+        )
     )
     qn = math.sqrt(sum(x * x for x in query_vec))
 

